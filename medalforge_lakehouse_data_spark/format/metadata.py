@@ -1,0 +1,300 @@
+"""Iceberg-style table metadata model: table-metadata → snapshots →
+manifests → data-file entries with per-file column min/max stats.
+
+Plays the role Delta/Unity-Catalog DDL plays in the reference
+(reference: src/onedata/bronze/managers/table_manager.py:182-258,
+src/onedata/silver/utils/merge.py:40-79) but as our own from-scratch
+format, since the sandbox has no Delta/Iceberg runtime.
+
+All metadata is driver-side JSON; data files are Parquet. A snapshot is
+immutable; a commit writes new metadata and atomically swaps a pointer
+file (os.replace), giving readers snapshot isolation: a reader that
+pinned snapshot N sees the identical row set regardless of concurrent
+maintenance (BASELINE.json north_star correctness criterion).
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import decimal as _dec
+import json
+import os
+import time
+import uuid
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql.types import StructType
+
+# ---------------------------------------------------------------------------
+# JSON-safe encoding for stats values (min/max can be dates/timestamps/decimals)
+
+_TS_TAG = "ts:"
+_DATE_TAG = "date:"
+_DEC_TAG = "dec:"
+_BYTES_TAG = "b64:"
+
+
+def encode_value(v: Any) -> Any:
+    if isinstance(v, _dt.datetime):
+        return _TS_TAG + v.isoformat()
+    if isinstance(v, _dt.date):
+        return _DATE_TAG + v.isoformat()
+    if isinstance(v, _dec.Decimal):
+        return _DEC_TAG + str(v)
+    if isinstance(v, (bytes, bytearray)):
+        import base64
+
+        return _BYTES_TAG + base64.b64encode(bytes(v)).decode("ascii")
+    return v
+
+
+def decode_value(v: Any) -> Any:
+    if isinstance(v, str):
+        if v.startswith(_TS_TAG):
+            return _dt.datetime.fromisoformat(v[len(_TS_TAG) :])
+        if v.startswith(_DATE_TAG):
+            return _dt.date.fromisoformat(v[len(_DATE_TAG) :])
+        if v.startswith(_DEC_TAG):
+            return _dec.Decimal(v[len(_DEC_TAG) :])
+        if v.startswith(_BYTES_TAG):
+            import base64
+
+            return base64.b64decode(v[len(_BYTES_TAG) :])
+    return v
+
+
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class ColumnStats:
+    min: Any = None
+    max: Any = None
+    null_count: int | None = None
+
+    def to_json(self) -> dict:
+        return {
+            "min": encode_value(self.min),
+            "max": encode_value(self.max),
+            "null_count": self.null_count,
+        }
+
+    @staticmethod
+    def from_json(d: dict) -> "ColumnStats":
+        return ColumnStats(
+            min=decode_value(d.get("min")),
+            max=decode_value(d.get("max")),
+            null_count=d.get("null_count"),
+        )
+
+
+@dataclass
+class DataFile:
+    """One immutable Parquet data file tracked by a manifest."""
+
+    path: str  # relative to table root
+    rows: int
+    bytes: int
+    partition: dict[str, Any] = field(default_factory=dict)
+    stats: dict[str, ColumnStats] = field(default_factory=dict)
+
+    def to_json(self) -> dict:
+        return {
+            "path": self.path,
+            "rows": self.rows,
+            "bytes": self.bytes,
+            "partition": {k: encode_value(v) for k, v in self.partition.items()},
+            "stats": {c: s.to_json() for c, s in self.stats.items()},
+        }
+
+    @staticmethod
+    def from_json(d: dict) -> "DataFile":
+        return DataFile(
+            path=d["path"],
+            rows=d["rows"],
+            bytes=d["bytes"],
+            partition={k: decode_value(v) for k, v in d.get("partition", {}).items()},
+            stats={c: ColumnStats.from_json(s) for c, s in d.get("stats", {}).items()},
+        )
+
+
+@dataclass
+class Snapshot:
+    snapshot_id: int
+    parent_id: int | None
+    timestamp_ms: int
+    operation: str  # append | overwrite | replace | delete | expire
+    manifest_list: list[str]  # relative paths of manifest JSON files
+    summary: dict[str, Any] = field(default_factory=dict)
+    commit_key: str | None = None  # idempotency key — duplicate commits no-op
+
+    def to_json(self) -> dict:
+        return {
+            "snapshot_id": self.snapshot_id,
+            "parent_id": self.parent_id,
+            "timestamp_ms": self.timestamp_ms,
+            "operation": self.operation,
+            "manifest_list": self.manifest_list,
+            "summary": self.summary,
+            "commit_key": self.commit_key,
+        }
+
+    @staticmethod
+    def from_json(d: dict) -> "Snapshot":
+        return Snapshot(
+            snapshot_id=d["snapshot_id"],
+            parent_id=d.get("parent_id"),
+            timestamp_ms=d["timestamp_ms"],
+            operation=d["operation"],
+            manifest_list=list(d["manifest_list"]),
+            summary=d.get("summary", {}),
+            commit_key=d.get("commit_key"),
+        )
+
+
+@dataclass
+class TableMetadata:
+    table_uuid: str
+    schema_json: dict  # StructType.jsonValue()
+    partition_spec: list[str]
+    properties: dict[str, str]
+    current_snapshot_id: int | None
+    snapshots: list[Snapshot]
+    sort_order: list[str] = field(default_factory=list)
+    format_version: int = 1
+    last_sequence: int = 0  # monotonically increasing snapshot id source
+
+    @property
+    def schema(self) -> StructType:
+        return StructType.fromJson(self.schema_json)
+
+    def snapshot_by_id(self, snapshot_id: int) -> Snapshot:
+        for s in self.snapshots:
+            if s.snapshot_id == snapshot_id:
+                return s
+        raise KeyError(f"snapshot {snapshot_id} not found")
+
+    def current_snapshot(self) -> Snapshot | None:
+        if self.current_snapshot_id is None:
+            return None
+        return self.snapshot_by_id(self.current_snapshot_id)
+
+    def find_commit(self, commit_key: str) -> Snapshot | None:
+        for s in self.snapshots:
+            if s.commit_key is not None and s.commit_key == commit_key:
+                return s
+        return None
+
+    def to_json(self) -> dict:
+        return {
+            "format_version": self.format_version,
+            "table_uuid": self.table_uuid,
+            "schema": self.schema_json,
+            "partition_spec": self.partition_spec,
+            "sort_order": self.sort_order,
+            "properties": self.properties,
+            "current_snapshot_id": self.current_snapshot_id,
+            "last_sequence": self.last_sequence,
+            "snapshots": [s.to_json() for s in self.snapshots],
+        }
+
+    @staticmethod
+    def from_json(d: dict) -> "TableMetadata":
+        return TableMetadata(
+            table_uuid=d["table_uuid"],
+            schema_json=d["schema"],
+            partition_spec=list(d.get("partition_spec", [])),
+            properties=dict(d.get("properties", {})),
+            current_snapshot_id=d.get("current_snapshot_id"),
+            snapshots=[Snapshot.from_json(s) for s in d.get("snapshots", [])],
+            sort_order=list(d.get("sort_order", [])),
+            format_version=d.get("format_version", 1),
+            last_sequence=d.get("last_sequence", 0),
+        )
+
+
+# ---------------------------------------------------------------------------
+# Filesystem helpers — atomic single-writer commit protocol
+
+
+POINTER = "metadata/current"
+
+
+def write_json_atomic(path: str, payload: dict) -> None:
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    tmp = f"{path}.tmp.{uuid.uuid4().hex}"
+    with open(tmp, "w") as f:
+        json.dump(payload, f, separators=(",", ":"))
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, path)
+
+
+def read_json(path: str) -> dict:
+    with open(path) as f:
+        return json.load(f)
+
+
+def write_manifest(root: str, files: list[DataFile]) -> str:
+    """Write one manifest file; returns its table-relative path.
+
+    A manifest aggregates partition-level bounds so the scan planner can
+    skip whole manifests without opening them file-by-file (the same role
+    Iceberg's manifest-list partition summaries play).
+    """
+    rel = f"metadata/manifests/m-{uuid.uuid4().hex}.json"
+    write_json_atomic(
+        os.path.join(root, rel),
+        {"entries": [f.to_json() for f in files]},
+    )
+    return rel
+
+
+def read_manifest(root: str, rel_path: str) -> list[DataFile]:
+    d = read_json(os.path.join(root, rel_path))
+    return [DataFile.from_json(e) for e in d["entries"]]
+
+
+class CommitLock:
+    """Best-effort advisory lock for single-writer commits.
+
+    O_CREAT|O_EXCL lockfile with stale-lock expiry. Real multi-writer
+    deployments would use a catalog with optimistic CAS (Iceberg-style);
+    the engine's commit API is shaped so that swap-in is localized here.
+    """
+
+    def __init__(self, root: str, timeout_s: float = 30.0, stale_s: float = 300.0):
+        self.path = os.path.join(root, "metadata", ".commit.lock")
+        self.timeout_s = timeout_s
+        self.stale_s = stale_s
+        self._fd: int | None = None
+
+    def __enter__(self):
+        os.makedirs(os.path.dirname(self.path), exist_ok=True)
+        deadline = time.monotonic() + self.timeout_s
+        while True:
+            try:
+                self._fd = os.open(self.path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                os.write(self._fd, str(os.getpid()).encode())
+                return self
+            except FileExistsError:
+                try:
+                    age = time.time() - os.path.getmtime(self.path)
+                    if age > self.stale_s:
+                        os.unlink(self.path)
+                        continue
+                except FileNotFoundError:
+                    continue
+                if time.monotonic() > deadline:
+                    raise TimeoutError(f"commit lock busy: {self.path}")
+                time.sleep(0.05)
+
+    def __exit__(self, *exc):
+        if self._fd is not None:
+            os.close(self._fd)
+            self._fd = None
+        try:
+            os.unlink(self.path)
+        except FileNotFoundError:
+            pass

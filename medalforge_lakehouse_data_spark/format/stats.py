@@ -1,0 +1,107 @@
+"""Per-file column statistics from Parquet footers.
+
+Role: what Delta computes internally and the reference relies on for
+ZORDER data skipping (reference: README.md:112,381). We read row-group
+statistics from footers (metadata-only, ~KB per file) and fold them to
+file-level min/max/null_count per column — these land in manifest
+entries and drive scan pruning (SURVEY.md §2.4 A3).
+
+Footer reads are metadata-only, so a driver-side thread pool handles
+thousands of files; beyond ``DISTRIBUTE_THRESHOLD`` files we fan the
+reads out over the cluster with a Spark job (each task reads footers
+for a slice of paths) — at 100 TB a table has millions of files and the
+driver must not read them serially.
+"""
+
+from __future__ import annotations
+
+import os
+from concurrent.futures import ThreadPoolExecutor
+from typing import Any
+
+import pyarrow.parquet as pq
+
+from medalforge_lakehouse_data_spark.format.metadata import ColumnStats, DataFile
+
+DISTRIBUTE_THRESHOLD = 4096
+# Columns where min/max is useless or expensive to keep (opaque payloads).
+_SKIP_PHYSICAL = {"BYTE_ARRAY"}  # only when logical type is not string
+
+
+def _merge_minmax(cur: ColumnStats, mn: Any, mx: Any, nulls: int | None) -> None:
+    if mn is not None and (cur.min is None or mn < cur.min):
+        cur.min = mn
+    if mx is not None and (cur.max is None or mx > cur.max):
+        cur.max = mx
+    if nulls is not None:
+        cur.null_count = (cur.null_count or 0) + nulls
+
+
+def file_stats(abs_path: str, stat_columns: list[str] | None = None) -> tuple[int, int, dict[str, ColumnStats]]:
+    """Return (rows, bytes, {column: ColumnStats}) for one Parquet file."""
+    pf = pq.ParquetFile(abs_path)
+    md = pf.metadata
+    schema = md.schema
+    want = set(stat_columns) if stat_columns is not None else None
+    col_names = [schema.column(i).name for i in range(len(schema))]
+    stats: dict[str, ColumnStats] = {}
+    for rg in range(md.num_row_groups):
+        rg_md = md.row_group(rg)
+        for i in range(rg_md.num_columns):
+            name = col_names[i]
+            if want is not None and name not in want:
+                continue
+            col = rg_md.column(i)
+            st = col.statistics
+            if st is None:
+                continue
+            cur = stats.setdefault(name, ColumnStats())
+            mn = st.min if st.has_min_max else None
+            mx = st.max if st.has_min_max else None
+            # Binary payloads (non-UTF8) produce bytes min/max — drop them,
+            # range pruning over opaque image bytes is meaningless.
+            if isinstance(mn, bytes) and schema.column(i).logical_type.type != "STRING":
+                mn = mx = None
+            nulls = st.null_count if st.has_null_count else None
+            _merge_minmax(cur, mn, mx, nulls)
+    return md.num_rows, os.path.getsize(abs_path), stats
+
+
+def collect_entries(
+    root: str,
+    rel_paths: list[str],
+    partitions: dict[str, dict[str, Any]] | None = None,
+    stat_columns: list[str] | None = None,
+    spark=None,
+) -> list[DataFile]:
+    """Build DataFile entries (footer stats) for table-relative paths.
+
+    ``partitions`` maps rel_path → partition values. When ``spark`` is
+    given and the file count is large, footer reads run as a Spark job.
+    """
+    partitions = partitions or {}
+
+    def one(rel: str) -> DataFile:
+        rows, nbytes, stats = file_stats(os.path.join(root, rel), stat_columns)
+        return DataFile(
+            path=rel, rows=rows, bytes=nbytes,
+            partition=partitions.get(rel, {}), stats=stats,
+        )
+
+    if spark is not None and len(rel_paths) > DISTRIBUTE_THRESHOLD:
+        sc = spark.sparkContext
+        n_slices = max(32, len(rel_paths) // 512)
+        payload = [(root, rel, stat_columns) for rel in rel_paths]
+        raw = (
+            sc.parallelize(payload, n_slices)
+            .map(lambda t: (t[1], file_stats(os.path.join(t[0], t[1]), t[2])))
+            .collect()
+        )
+        out = []
+        for rel, (rows, nbytes, stats) in raw:
+            out.append(DataFile(path=rel, rows=rows, bytes=nbytes,
+                                partition=partitions.get(rel, {}), stats=stats))
+        return out
+
+    with ThreadPoolExecutor(max_workers=min(32, max(4, len(rel_paths)))) as ex:
+        return list(ex.map(one, rel_paths))

@@ -1,0 +1,569 @@
+"""From-scratch Iceberg-style table over Parquet + JSON metadata.
+
+Replaces the Delta/Unity-Catalog surface the reference drives via SQL
+strings (reference: bronze/managers/table_manager.py:182-258 idempotent
+DDL; silver/utils/merge.py:40-110 table materialization/append). Here a
+"table" is a directory:
+
+    <root>/data/...                      immutable Parquet data files
+    <root>/metadata/v<N>.metadata.json   table metadata versions
+    <root>/metadata/manifests/m-*.json   manifests (data-file entries)
+    <root>/metadata/current              pointer file (atomic os.replace)
+
+Design points for 100 TB scale:
+  * Scan planning is pure metadata work: partition pruning + per-file
+    min/max pruning happen on the driver over manifests, then Spark
+    reads ONLY the surviving files — the same file-skipping mechanism
+    Delta uses after OPTIMIZE ZORDER (reference README.md:112,381).
+  * Partition columns are kept IN the data files (layout directories use
+    a ``__p_<col>=`` prefix), so a pruned file list reads back with the
+    full schema and no basePath/partition-inference coupling; the
+    duplicated column is RLE-constant per file, ~free in Parquet.
+  * Commits are snapshots: append/rewrite never mutate existing files,
+    so a reader pinned to snapshot N is isolated from maintenance.
+  * ``commit_key`` makes commits idempotent — a resumed job that already
+    committed becomes a no-op (north_rule resumability).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import time
+import urllib.parse
+import uuid
+from typing import Any, Callable, Iterable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BooleanType,
+    DateType,
+    DoubleType,
+    FloatType,
+    IntegerType,
+    LongType,
+    ShortType,
+    StringType,
+    StructType,
+    TimestampType,
+)
+
+from medalforge_lakehouse_data_spark.format.metadata import (
+    POINTER,
+    CommitLock,
+    DataFile,
+    Snapshot,
+    TableMetadata,
+    read_json,
+    read_manifest,
+    write_json_atomic,
+    write_manifest,
+)
+from medalforge_lakehouse_data_spark.format.stats import collect_entries
+
+_LAYOUT_PREFIX = "__p_"
+_NULL_PART = "__HIVE_DEFAULT_PARTITION__"
+
+Filter = tuple  # (col, op, value) with op in {=, <, <=, >, >=, in, between}
+
+
+def _cast_partition_value(raw: str, dtype) -> Any:
+    if raw == _NULL_PART:
+        return None
+    raw = urllib.parse.unquote(raw)
+    if isinstance(dtype, (IntegerType, LongType, ShortType)):
+        return int(raw)
+    if isinstance(dtype, (DoubleType, FloatType)):
+        return float(raw)
+    if isinstance(dtype, BooleanType):
+        return raw.lower() == "true"
+    if isinstance(dtype, DateType):
+        import datetime
+
+        return datetime.date.fromisoformat(raw)
+    if isinstance(dtype, TimestampType):
+        import datetime
+
+        return datetime.datetime.fromisoformat(raw)
+    return raw  # string
+
+
+class Table:
+    def __init__(self, root: str):
+        self.root = os.path.abspath(root)
+
+    # -- lifecycle ----------------------------------------------------------
+
+    @staticmethod
+    def exists(root: str) -> bool:
+        return os.path.exists(os.path.join(root, POINTER))
+
+    @staticmethod
+    def create(
+        root: str,
+        schema: StructType,
+        partition_spec: list[str] | None = None,
+        properties: dict[str, str] | None = None,
+        if_not_exists: bool = False,
+    ) -> "Table":
+        """Create a table (metadata v1, zero snapshots). Idempotent when
+        ``if_not_exists`` — mirrors CREATE TABLE IF NOT EXISTS semantics
+        (reference: table_manager.py:182-250)."""
+        if Table.exists(root):
+            if if_not_exists:
+                return Table(root)
+            raise FileExistsError(f"table already exists at {root}")
+        partition_spec = list(partition_spec or [])
+        names = set(schema.fieldNames())
+        for p in partition_spec:
+            if p not in names:
+                raise ValueError(f"partition column {p!r} not in schema")
+            if schema[p].dataType.typeName() in ("array", "map", "struct", "binary"):
+                # reference: data_contract_manager.py:148-163 — no complex partitions
+                raise ValueError(f"partition column {p!r} may not be a complex/binary type")
+        meta = TableMetadata(
+            table_uuid=uuid.uuid4().hex,
+            schema_json=schema.jsonValue(),
+            partition_spec=partition_spec,
+            properties=dict(properties or {}),
+            current_snapshot_id=None,
+            snapshots=[],
+        )
+        root = os.path.abspath(root)
+        os.makedirs(os.path.join(root, "data"), exist_ok=True)
+        write_json_atomic(os.path.join(root, "metadata/v1.metadata.json"), meta.to_json())
+        _swap_pointer(root, "v1.metadata.json")
+        return Table(root)
+
+    @staticmethod
+    def load(root: str) -> "Table":
+        if not Table.exists(root):
+            raise FileNotFoundError(f"no table at {root}")
+        return Table(root)
+
+    # -- metadata access ----------------------------------------------------
+
+    def _pointer_version(self) -> str:
+        with open(os.path.join(self.root, POINTER)) as f:
+            return f.read().strip()
+
+    def metadata(self) -> TableMetadata:
+        return TableMetadata.from_json(
+            read_json(os.path.join(self.root, "metadata", self._pointer_version()))
+        )
+
+    @property
+    def schema(self) -> StructType:
+        return self.metadata().schema
+
+    @property
+    def partition_spec(self) -> list[str]:
+        return self.metadata().partition_spec
+
+    def current_snapshot_id(self) -> int | None:
+        return self.metadata().current_snapshot_id
+
+    def snapshots(self) -> list[Snapshot]:
+        return self.metadata().snapshots
+
+    def files(self, snapshot_id: int | None = None) -> list[DataFile]:
+        meta = self.metadata()
+        snap = (
+            meta.current_snapshot()
+            if snapshot_id is None
+            else meta.snapshot_by_id(snapshot_id)
+        )
+        if snap is None:
+            return []
+        out: list[DataFile] = []
+        for m in snap.manifest_list:
+            out.extend(read_manifest(self.root, m))
+        return out
+
+    # -- commit protocol ----------------------------------------------------
+
+    def _commit(
+        self,
+        operation: str,
+        build: Callable[[TableMetadata, int], tuple[list[str], dict]],
+        commit_key: str | None = None,
+    ) -> Snapshot:
+        """Single-writer commit: under the lock, re-read metadata, build the
+        new snapshot's manifest list, write v<N+1>, atomically swap pointer.
+        If ``commit_key`` was already committed, return that snapshot."""
+        with CommitLock(self.root):
+            meta = self.metadata()
+            if commit_key is not None:
+                prior = meta.find_commit(commit_key)
+                if prior is not None:
+                    return prior
+            sid = meta.last_sequence + 1
+            manifest_list, summary = build(meta, sid)
+            snap = Snapshot(
+                snapshot_id=sid,
+                parent_id=meta.current_snapshot_id,
+                timestamp_ms=int(time.time() * 1000),
+                operation=operation,
+                manifest_list=manifest_list,
+                summary=summary,
+                commit_key=commit_key,
+            )
+            meta.snapshots.append(snap)
+            meta.current_snapshot_id = sid
+            meta.last_sequence = sid
+            cur_v = int(self._pointer_version().split(".")[0][1:])
+            new_name = f"v{cur_v + 1}.metadata.json"
+            write_json_atomic(
+                os.path.join(self.root, "metadata", new_name), meta.to_json()
+            )
+            _swap_pointer(self.root, new_name)
+            return snap
+
+    # -- writes -------------------------------------------------------------
+
+    def _write_data_files(
+        self,
+        spark: SparkSession,
+        df: DataFrame,
+        target_file_count: int | None = None,
+        sort_within: list[str] | None = None,
+    ) -> list[DataFile]:
+        """Write df as new Parquet data files under data/ (no commit).
+
+        Layout partitioning uses duplicated ``__p_<col>`` columns so the
+        originals stay in the files. Returns manifest entries with footer
+        stats. Files land with unique names; a crashed job leaves only
+        unreferenced orphans (GC'd by snapshot expiry), never a torn table.
+        """
+        meta = self.metadata()
+        spec = meta.partition_spec
+        schema = meta.schema
+        df = df.select(*schema.fieldNames())  # enforce column order
+        staging = os.path.join(self.root, "_staging", uuid.uuid4().hex)
+        writer_df = df
+        for p in spec:
+            writer_df = writer_df.withColumn(_LAYOUT_PREFIX + p, F.col(p))
+        if target_file_count:
+            if sort_within:
+                writer_df = writer_df.repartitionByRange(
+                    target_file_count, *[F.col(c) for c in sort_within]
+                ).sortWithinPartitions(*sort_within)
+            else:
+                writer_df = writer_df.repartition(target_file_count)
+        elif sort_within:
+            writer_df = writer_df.sortWithinPartitions(*sort_within)
+        writer = writer_df.write.mode("overwrite")
+        if spec:
+            writer = writer.partitionBy(*[_LAYOUT_PREFIX + p for p in spec])
+        writer.parquet(staging)
+
+        # Move part files into data/, preserving layout dirs; parse partition
+        # values from the layout dir names for manifest entries.
+        rels: list[str] = []
+        partitions: dict[str, dict[str, Any]] = {}
+        for dirpath, _dirs, fnames in os.walk(staging):
+            for fn in fnames:
+                if not fn.endswith(".parquet"):
+                    continue
+                src = os.path.join(dirpath, fn)
+                rel_dir = os.path.relpath(dirpath, staging)
+                pvals: dict[str, Any] = {}
+                parts = [] if rel_dir == "." else rel_dir.split(os.sep)
+                clean_parts = []
+                for seg in parts:
+                    if "=" in seg and seg.startswith(_LAYOUT_PREFIX):
+                        k, v = seg.split("=", 1)
+                        col = k[len(_LAYOUT_PREFIX):]
+                        pvals[col] = _cast_partition_value(v, schema[col].dataType)
+                        clean_parts.append(f"{col}={v}")
+                    else:
+                        clean_parts.append(seg)
+                new_name = f"{uuid.uuid4().hex[:12]}-{fn}"
+                rel = os.path.join("data", *clean_parts, new_name)
+                abs_dest = os.path.join(self.root, rel)
+                os.makedirs(os.path.dirname(abs_dest), exist_ok=True)
+                os.replace(src, abs_dest)
+                rels.append(rel)
+                partitions[rel] = pvals
+        shutil.rmtree(staging, ignore_errors=True)
+        stat_cols = self._stat_columns(schema)
+        return collect_entries(self.root, rels, partitions, stat_cols, spark=spark)
+
+    def _stat_columns(self, schema: StructType) -> list[str]:
+        prop = self.metadata().properties.get("stats.columns")
+        if prop:
+            return [c.strip() for c in prop.split(",") if c.strip()]
+        out = []
+        for f in schema.fields:
+            if f.dataType.typeName() not in ("binary", "array", "map", "struct"):
+                out.append(f.name)
+        return out
+
+    def append(
+        self,
+        spark: SparkSession,
+        df: DataFrame,
+        commit_key: str | None = None,
+        target_file_count: int | None = None,
+        sort_within: list[str] | None = None,
+    ) -> Snapshot:
+        """Append = write new data files + snapshot referencing old manifests
+        plus one new manifest (reference S6/S7 semantics, merge.py:82-110).
+
+        With a ``commit_key`` the data write is skipped entirely when the key
+        was already committed (idempotent resume) — checked BEFORE writing.
+        """
+        if commit_key is not None:
+            prior = self.metadata().find_commit(commit_key)
+            if prior is not None:
+                return prior
+        entries = self._write_data_files(spark, df, target_file_count, sort_within)
+        if not entries:
+            # still commit an empty snapshot for lineage continuity
+            return self._commit(
+                "append",
+                lambda meta, sid: (
+                    list(meta.current_snapshot().manifest_list)
+                    if meta.current_snapshot()
+                    else [],
+                    _summary(meta, [], []),
+                ),
+                commit_key,
+            )
+        new_manifest = write_manifest(self.root, entries)
+
+        def build(meta: TableMetadata, sid: int):
+            parent = meta.current_snapshot()
+            manifests = list(parent.manifest_list) if parent else []
+            manifests.append(new_manifest)
+            return manifests, _summary(meta, entries, [])
+
+        return self._commit("append", build, commit_key)
+
+    def overwrite_all(
+        self, spark: SparkSession, df: DataFrame, commit_key: str | None = None,
+        target_file_count: int | None = None, sort_within: list[str] | None = None,
+    ) -> Snapshot:
+        if commit_key is not None:
+            prior = self.metadata().find_commit(commit_key)
+            if prior is not None:
+                return prior
+        entries = self._write_data_files(spark, df, target_file_count, sort_within)
+        new_manifest = write_manifest(self.root, entries) if entries else None
+
+        def build(meta: TableMetadata, sid: int):
+            removed = self.files(meta.current_snapshot_id) if meta.current_snapshot_id else []
+            return ([new_manifest] if new_manifest else []), _summary(meta, entries, removed)
+
+        return self._commit("overwrite", build, commit_key)
+
+    def rewrite_files(
+        self,
+        removed_paths: Iterable[str],
+        added: list[DataFile],
+        operation: str = "replace",
+        commit_key: str | None = None,
+        extra_summary: dict | None = None,
+    ) -> Snapshot:
+        """Swap a set of data files for another (compaction / clustering /
+        MERGE). Manifests containing removed entries are rewritten; untouched
+        manifests are reused by reference — at scale only the affected
+        metadata is rewritten, like Iceberg's rewrite-manifests."""
+        removed = set(removed_paths)
+        new_manifest = write_manifest(self.root, added) if added else None
+
+        def build(meta: TableMetadata, sid: int):
+            parent = meta.current_snapshot()
+            manifests: list[str] = []
+            removed_entries: list[DataFile] = []
+            seen_removed: set[str] = set()
+            for m in parent.manifest_list if parent else []:
+                entries = read_manifest(self.root, m)
+                hit = [e for e in entries if e.path in removed]
+                if not hit:
+                    manifests.append(m)  # reuse untouched manifest file
+                    continue
+                removed_entries.extend(hit)
+                seen_removed.update(e.path for e in hit)
+                keep = [e for e in entries if e.path not in removed]
+                if keep:
+                    manifests.append(write_manifest(self.root, keep))
+            missing = removed - seen_removed
+            if missing:
+                raise ValueError(
+                    f"rewrite references files not in current snapshot: {sorted(missing)[:3]}..."
+                )
+            if new_manifest:
+                manifests.append(new_manifest)
+            summary = _summary(meta, added, removed_entries)
+            summary.update(extra_summary or {})
+            return manifests, summary
+
+        return self._commit(operation, build, commit_key)
+
+    # -- scan planning ------------------------------------------------------
+
+    def plan_files(
+        self,
+        snapshot_id: int | None = None,
+        filters: list[Filter] | None = None,
+    ) -> tuple[list[DataFile], dict]:
+        """Prune manifest entries by partition values and per-file min/max.
+
+        Pure driver-side metadata work — no data file is opened. Returns
+        (surviving entries, metrics with files_total/files_kept/bytes_*)."""
+        entries = self.files(snapshot_id)
+        spec = set(self.partition_spec)
+        kept = []
+        for e in entries:
+            if _survives(e, filters or [], spec):
+                kept.append(e)
+        metrics = {
+            "files_total": len(entries),
+            "files_kept": len(kept),
+            "bytes_total": sum(e.bytes for e in entries),
+            "bytes_kept": sum(e.bytes for e in kept),
+            "rows_total": sum(e.rows for e in entries),
+            "rows_kept": sum(e.rows for e in kept),
+        }
+        return kept, metrics
+
+    def scan(
+        self,
+        spark: SparkSession,
+        snapshot_id: int | None = None,
+        filters: list[Filter] | None = None,
+        columns: list[str] | None = None,
+        metrics_out: dict | None = None,
+    ) -> DataFrame:
+        """Snapshot-pinned read: plan → pruned file list → spark.read.parquet
+        → residual filter (exact semantics) → optional projection.
+
+        The residual filter re-applies every predicate row-level, so pruning
+        is a pure optimization and can never change results. Column pruning
+        and the residual predicates also push into the Parquet scan via
+        Catalyst (ReadSchema / PushedFilters)."""
+        kept, metrics = self.plan_files(snapshot_id, filters)
+        if metrics_out is not None:
+            metrics_out.update(metrics)
+        schema = self.schema
+        if not kept:
+            df = spark.createDataFrame([], schema)
+        else:
+            paths = [os.path.join(self.root, e.path) for e in kept]
+            df = spark.read.schema(schema).parquet(*paths)
+        for flt in filters or []:
+            df = df.filter(_to_column(flt))
+        if columns:
+            df = df.select(*columns)
+        return df
+
+
+def _survives(e: DataFile, filters: list[Filter], partition_cols: set[str]) -> bool:
+    for col, op, val in filters:
+        if col in e.partition:
+            pv = e.partition[col]
+            if not _eval_point(pv, op, val):
+                return False
+            continue
+        st = e.stats.get(col)
+        if st is None or st.min is None or st.max is None:
+            continue  # no stats → cannot prune
+        if not _overlaps(st.min, st.max, op, val):
+            return False
+    return True
+
+
+def _eval_point(pv, op, val) -> bool:
+    if pv is None:
+        return True  # conservative: keep null-partition files
+    try:
+        if op == "=":
+            return pv == val
+        if op == "<":
+            return pv < val
+        if op == "<=":
+            return pv <= val
+        if op == ">":
+            return pv > val
+        if op == ">=":
+            return pv >= val
+        if op == "in":
+            return pv in val
+        if op == "between":
+            return val[0] <= pv <= val[1]
+    except TypeError:
+        return True
+    return True
+
+
+def _overlaps(mn, mx, op, val) -> bool:
+    try:
+        if op == "=":
+            return mn <= val <= mx
+        if op == "<":
+            return mn < val
+        if op == "<=":
+            return mn <= val
+        if op == ">":
+            return mx > val
+        if op == ">=":
+            return mx >= val
+        if op == "in":
+            return any(mn <= v <= mx for v in val)
+        if op == "between":
+            lo, hi = val
+            return not (mx < lo or mn > hi)
+    except TypeError:
+        return True
+    return True
+
+
+def _to_column(flt: Filter):
+    col, op, val = flt
+    c = F.col(col)
+    if op == "=":
+        return c == F.lit(val)
+    if op == "<":
+        return c < F.lit(val)
+    if op == "<=":
+        return c <= F.lit(val)
+    if op == ">":
+        return c > F.lit(val)
+    if op == ">=":
+        return c >= F.lit(val)
+    if op == "in":
+        return c.isin(list(val))
+    if op == "between":
+        return c.between(F.lit(val[0]), F.lit(val[1]))
+    raise ValueError(f"unsupported filter op {op!r}")
+
+
+def _summary(meta: TableMetadata, added: list[DataFile], removed: list[DataFile]) -> dict:
+    parent = meta.current_snapshot()
+    prev_rows = parent.summary.get("total_rows", 0) if parent else 0
+    prev_files = parent.summary.get("total_files", 0) if parent else 0
+    prev_bytes = parent.summary.get("total_bytes", 0) if parent else 0
+    return {
+        "added_files": len(added),
+        "added_rows": sum(e.rows for e in added),
+        "added_bytes": sum(e.bytes for e in added),
+        "removed_files": len(removed),
+        "removed_rows": sum(e.rows for e in removed),
+        "removed_bytes": sum(e.bytes for e in removed),
+        "total_rows": prev_rows + sum(e.rows for e in added) - sum(e.rows for e in removed),
+        "total_files": prev_files + len(added) - len(removed),
+        "total_bytes": prev_bytes + sum(e.bytes for e in added) - sum(e.bytes for e in removed),
+    }
+
+
+def _swap_pointer(root: str, version_name: str) -> None:
+    ptr = os.path.join(root, POINTER)
+    os.makedirs(os.path.dirname(ptr), exist_ok=True)
+    tmp = f"{ptr}.tmp.{uuid.uuid4().hex}"
+    with open(tmp, "w") as f:
+        f.write(version_name)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, ptr)

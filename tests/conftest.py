@@ -1,0 +1,36 @@
+"""Shared test fixtures — local Spark session, UTC, small shuffle width.
+
+Mirrors the reference's fixture style (reference:
+src/onedata/tests/conftest.py:64-77 — local[2], UTC,
+shuffle.partitions=1) but with enough parallelism to exercise
+multi-partition code paths.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from medalforge_lakehouse_data_spark.session import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = get_spark(
+        app_name="mf-tests",
+        master="local[4]",
+        shuffle_partitions=4,
+        extra_conf={"spark.sql.warehouse.dir": "/tmp/mf-test-warehouse"},
+    )
+    yield s
+
+
+@pytest.fixture()
+def tmp_table_dir(tmp_path):
+    return str(tmp_path / "tbl")
