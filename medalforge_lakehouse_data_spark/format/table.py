@@ -239,13 +239,14 @@ class Table:
         meta = self.metadata()
         spec = meta.partition_spec
         schema = meta.schema
-        df = df.select(*schema.fieldNames())  # enforce column order
         staging = os.path.join(self.root, "_staging", uuid.uuid4().hex)
         writer_df = df
         for p in spec:
             writer_df = writer_df.withColumn(_LAYOUT_PREFIX + p, F.col(p))
         if target_file_count:
             if sort_within:
+                # Range-partition + sort on the cluster key: each output file
+                # gets a disjoint key range → tight per-file min/max bounds.
                 writer_df = writer_df.repartitionByRange(
                     target_file_count, *[F.col(c) for c in sort_within]
                 ).sortWithinPartitions(*sort_within)
@@ -253,9 +254,18 @@ class Table:
                 writer_df = writer_df.repartition(target_file_count)
         elif sort_within:
             writer_df = writer_df.sortWithinPartitions(*sort_within)
-        writer = writer_df.write.mode("overwrite")
+        # Project AFTER repartition/sort so transient sort keys (e.g. a
+        # space-filling-curve index not in the schema) order the rows but
+        # are not written; narrow projection preserves within-partition order.
+        writer_df = writer_df.select(
+            *schema.fieldNames(), *[_LAYOUT_PREFIX + p for p in spec]
+        )
         if spec:
-            writer = writer.partitionBy(*[_LAYOUT_PREFIX + p for p in spec])
+            writer = writer_df.write.mode("overwrite").partitionBy(
+                *[_LAYOUT_PREFIX + p for p in spec]
+            )
+        else:
+            writer = writer_df.write.mode("overwrite")
         writer.parquet(staging)
 
         # Move part files into data/, preserving layout dirs; parse partition

@@ -1,0 +1,150 @@
+"""Z-order / Hilbert clustering rewrite — the engine's OPTIMIZE ZORDER BY.
+
+The reference calls Databricks ``OPTIMIZE {fqn} ZORDER BY (cols)`` as a
+black box (reference: silver/utils/merge.py:172-173, README.md:112,381).
+From-scratch equivalent:
+
+  1. Global per-column bounds come from manifest stats (driver-side,
+     no data scan) — fallback to a distributed min/max agg.
+  2. A pandas UDF normalizes each cluster column to b bits and
+     interleaves them into a 64-bit Morton or Hilbert key (vectorized
+     numpy over Arrow batches — functions/zorder.py).
+  3. ``repartitionByRange(n, _zkey)`` + ``sortWithinPartitions(_zkey)``
+     lays rows out along the curve; each output file covers a disjoint
+     curve range, so its per-column min/max boxes are tight → scan
+     pruning on ANY clustered column works (north_star pruning metric).
+  4. One atomic snapshot swaps all files (old snapshot still readable).
+
+At 1000-executor scale the only shuffle is the single range partition,
+sized by target file bytes; the curve key costs one Arrow pass."""
+
+from __future__ import annotations
+
+import math
+import os
+import time
+from typing import Sequence
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import LongType
+
+from medalforge_lakehouse_data_spark.format.table import Table
+from medalforge_lakehouse_data_spark.functions.zorder import (
+    hilbert_index,
+    morton_interleave,
+    normalize_to_bits,
+)
+
+DEFAULT_TARGET_BYTES = 128 * 1024 * 1024
+
+
+def column_bounds(table: Table, columns: Sequence[str], snapshot_id: int | None = None):
+    """Global (min, max) per column from manifest stats — metadata only."""
+    bounds: dict[str, list] = {c: [None, None] for c in columns}
+    for e in table.files(snapshot_id):
+        for c in columns:
+            st = e.stats.get(c)
+            if st is None or st.min is None:
+                continue
+            lo, hi = bounds[c]
+            bounds[c][0] = st.min if lo is None or st.min < lo else lo
+            bounds[c][1] = st.max if hi is None or st.max > hi else hi
+    return {c: (b[0], b[1]) for c, b in bounds.items()}
+
+
+def curve_key_udf(columns: Sequence[str], bounds: dict, curve: str = "zorder"):
+    """pandas UDF computing the 64-bit space-filling-curve key."""
+    ncols = len(columns)
+    bits = 63 // ncols if ncols > 1 else 63
+    bits = min(bits, 21 if ncols == 3 else 32 if ncols == 2 else 63)
+    lo_hi = [bounds[c] for c in columns]
+
+    @pandas_udf(LongType())
+    def _key(*cols: pd.Series) -> pd.Series:
+        norm = [
+            normalize_to_bits(
+                s.to_numpy(dtype="float64", na_value=0.0), lo, hi, bits
+            )
+            for s, (lo, hi) in zip(cols, lo_hi)
+        ]
+        if curve == "hilbert":
+            key = hilbert_index(norm, bits)
+        else:
+            key = morton_interleave(norm)
+        return pd.Series(key)
+
+    return _key
+
+
+def with_curve_key(
+    df: DataFrame,
+    columns: Sequence[str],
+    bounds: dict,
+    curve: str = "zorder",
+    out_col: str = "_zkey",
+) -> DataFrame:
+    udf = curve_key_udf(columns, bounds, curve)
+    return df.withColumn(out_col, udf(*[F.col(c) for c in columns]))
+
+
+def cluster_rewrite(
+    table: Table,
+    spark: SparkSession,
+    columns: Sequence[str] = ("phash", "w", "h"),
+    curve: str = "zorder",
+    target_file_bytes: int = DEFAULT_TARGET_BYTES,
+    snapshot_id: int | None = None,
+    job_id: str | None = None,
+) -> dict:
+    """Rewrite the whole table clustered along the curve. Returns metrics."""
+    t0 = time.monotonic()
+    job_id = job_id or f"cluster-{int(time.time())}"
+    files = table.files(snapshot_id)
+    if not files:
+        return {"job_id": job_id, "files_in": 0, "files_out": 0, "seconds": 0.0}
+    total_bytes = sum(e.bytes for e in files)
+    n_out = max(1, math.ceil(total_bytes / target_file_bytes))
+    bounds = column_bounds(table, columns, snapshot_id)
+    # numeric bounds required; fall back to a distributed agg if stats absent
+    missing = [c for c in columns if bounds[c][0] is None]
+    if missing:
+        agg = table.scan(spark, snapshot_id).agg(
+            *[F.min(c).alias(f"mn_{c}") for c in missing],
+            *[F.max(c).alias(f"mx_{c}") for c in missing],
+        ).collect()[0]
+        for c in missing:
+            bounds[c] = (agg[f"mn_{c}"], agg[f"mx_{c}"])
+
+    df = table.scan(spark, snapshot_id)
+    keyed = with_curve_key(df, columns, bounds, curve)
+    added = table._write_data_files(
+        spark, keyed, target_file_count=n_out, sort_within=["_zkey"]
+    )
+    snap = table.rewrite_files(
+        [e.path for e in files],
+        added,
+        operation="cluster",
+        commit_key=f"{job_id}:rewrite",
+        extra_summary={
+            "job_id": job_id,
+            "cluster_columns": list(columns),
+            "curve": curve,
+        },
+    )
+    dt = time.monotonic() - t0
+    return {
+        "job_id": job_id,
+        "snapshot_id": snap.snapshot_id,
+        "files_in": len(files),
+        "files_out": len(added),
+        "bytes_in": total_bytes,
+        "rows": sum(e.rows for e in added),
+        "seconds": dt,
+        "gb_per_min": (total_bytes / 1e9) / (dt / 60) if dt > 0 else 0.0,
+        "files_per_min": len(files) / (dt / 60) if dt > 0 else 0.0,
+        "curve": curve,
+    }

@@ -1,0 +1,124 @@
+"""Bin-packing small-file compaction (size-tiered selection + FFD grouping).
+
+The reference only names small-file compaction as a roadmap item
+(reference: README.md:621-626; Databricks OPTIMIZE is a black box) —
+here it is a first-class from-scratch job, per BASELINE.json north_star:
+
+  1. SELECT: per partition, files below ``min_file_bytes`` (size tier).
+  2. PLAN: greedy first-fit-decreasing bin packing into bins of
+     ~``target_file_bytes`` — pure Python over manifest stats, driver-side,
+     no data read. Each bin becomes one output file.
+  3. REWRITE: per partition, one distributed job reads the selected
+     files and writes ``len(bins)`` evenly-ranged output files.
+  4. COMMIT: one atomic snapshot per partition (commit_key =
+     job_id:partition), checkpointed — a killed run resumes at the next
+     partition with no duplicate commits.
+
+Readers pinned to the pre-compaction snapshot see identical rows
+throughout (snapshot isolation)."""
+
+from __future__ import annotations
+
+import os
+import time
+
+from pyspark.sql import SparkSession
+
+from medalforge_lakehouse_data_spark.format.metadata import DataFile
+from medalforge_lakehouse_data_spark.format.table import Table
+from medalforge_lakehouse_data_spark.maintenance.checkpoint import JobCheckpoint
+
+DEFAULT_TARGET_BYTES = 128 * 1024 * 1024
+
+
+def ffd_bins(files: list[DataFile], target_bytes: int) -> list[list[DataFile]]:
+    """First-fit-decreasing bin packing by file size."""
+    bins: list[tuple[int, list[DataFile]]] = []
+    for f in sorted(files, key=lambda e: e.bytes, reverse=True):
+        for i, (used, members) in enumerate(bins):
+            if used + f.bytes <= target_bytes:
+                bins[i] = (used + f.bytes, members + [f])
+                break
+        else:
+            bins.append((f.bytes, [f]))
+    return [m for _, m in bins]
+
+
+def plan_compaction(
+    table: Table,
+    target_file_bytes: int = DEFAULT_TARGET_BYTES,
+    min_file_bytes: int | None = None,
+    snapshot_id: int | None = None,
+) -> dict[tuple, list[list[DataFile]]]:
+    """Driver-side plan: {partition_tuple: bins}. Only partitions where
+    compaction reduces file count are included."""
+    min_file_bytes = min_file_bytes or int(target_file_bytes * 0.75)
+    by_part: dict[tuple, list[DataFile]] = {}
+    for e in table.files(snapshot_id):
+        if e.bytes < min_file_bytes:
+            key = tuple(sorted(e.partition.items()))
+            by_part.setdefault(key, []).append(e)
+    plan: dict[tuple, list[list[DataFile]]] = {}
+    for key, files in by_part.items():
+        bins = ffd_bins(files, target_file_bytes)
+        if len(bins) < len(files):  # compaction must shrink file count
+            plan[key] = bins
+    return plan
+
+
+def compact(
+    table: Table,
+    spark: SparkSession,
+    target_file_bytes: int = DEFAULT_TARGET_BYTES,
+    min_file_bytes: int | None = None,
+    job_id: str | None = None,
+    checkpoint_root: str | None = None,
+) -> dict:
+    """Run compaction; returns metrics. Resumable via (job_id,
+    checkpoint_root): completed partitions are skipped on re-run and the
+    table-level commit_key makes each partition commit idempotent."""
+    t0 = time.monotonic()
+    job_id = job_id or f"compact-{int(time.time())}"
+    ckpt = JobCheckpoint(
+        checkpoint_root or os.path.join(table.root, "_checkpoints"), job_id
+    )
+    plan = plan_compaction(table, target_file_bytes, min_file_bytes)
+    metrics = {
+        "job_id": job_id,
+        "partitions": len(plan),
+        "files_in": 0,
+        "files_out": 0,
+        "bytes_in": 0,
+        "rows": 0,
+        "skipped_units": 0,
+    }
+    schema = table.schema
+    for key, bins in sorted(plan.items()):
+        unit = "part:" + ",".join(f"{k}={v}" for k, v in key) if key else "part:_all"
+        files = [f for b in bins for f in b]
+        if ckpt.is_done(unit):
+            metrics["skipped_units"] += 1
+            continue
+        ckpt.mark(unit, "running", files=len(files))
+        paths = [os.path.join(table.root, f.path) for f in files]
+        df = spark.read.schema(schema).parquet(*paths)
+        added = table._write_data_files(spark, df, target_file_count=len(bins))
+        table.rewrite_files(
+            [f.path for f in files],
+            added,
+            operation="compact",
+            commit_key=f"{job_id}:{unit}",
+            extra_summary={"job_id": job_id},
+        )
+        rows = sum(e.rows for e in added)
+        nbytes = sum(f.bytes for f in files)
+        ckpt.mark_done(unit, files=len(files), files_out=len(added), rows=rows, bytes=nbytes)
+        metrics["files_in"] += len(files)
+        metrics["files_out"] += len(added)
+        metrics["bytes_in"] += nbytes
+        metrics["rows"] += rows
+    dt = time.monotonic() - t0
+    metrics["seconds"] = dt
+    metrics["gb_per_min"] = (metrics["bytes_in"] / 1e9) / (dt / 60) if dt > 0 else 0.0
+    metrics["files_per_min"] = metrics["files_in"] / (dt / 60) if dt > 0 else 0.0
+    return metrics

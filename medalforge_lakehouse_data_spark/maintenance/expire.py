@@ -1,0 +1,120 @@
+"""Snapshot expiry with reachability GC + orphan cleanup.
+
+Mirrors Iceberg's expire_snapshots/remove_orphan_files; the reference
+relies on Delta VACUUM (not available OSS). Algorithm:
+
+  1. Retain: the current snapshot always, plus snapshots newer than
+     ``older_than_ms`` / the last ``keep_last``.
+  2. MARK: walk retained snapshots' manifests → reachable data files
+     and manifest files (pure metadata, driver-side).
+  3. SWEEP: delete data/manifest files on disk that are unreachable and
+     older than ``grace_s`` (grace protects in-flight uncommitted
+     writes), plus stale _staging directories.
+
+Metadata history is rewritten in a new metadata version under the
+commit lock, so expiry serializes with writers."""
+
+from __future__ import annotations
+
+import os
+import shutil
+import time
+
+from medalforge_lakehouse_data_spark.format.metadata import (
+    CommitLock,
+    read_manifest,
+    write_json_atomic,
+)
+from medalforge_lakehouse_data_spark.format.table import Table, _swap_pointer
+
+
+def expire_snapshots(
+    table: Table,
+    keep_last: int | None = None,
+    older_than_ms: int | None = None,
+    grace_s: float = 0.0,
+    dry_run: bool = False,
+) -> dict:
+    if keep_last is None and older_than_ms is None:
+        keep_last = 1
+    with CommitLock(table.root):
+        meta = table.metadata()
+        snaps = meta.snapshots
+        retained = []
+        for idx, s in enumerate(snaps):
+            keep = s.snapshot_id == meta.current_snapshot_id
+            if keep_last is not None and idx >= len(snaps) - keep_last:
+                keep = True
+            if older_than_ms is not None and s.timestamp_ms >= older_than_ms:
+                keep = True
+            if keep:
+                retained.append(s)
+        expired = [s for s in snaps if s not in retained]
+
+        # MARK: reachable manifests + data files from retained snapshots
+        reachable_manifests: set[str] = set()
+        reachable_data: set[str] = set()
+        for s in retained:
+            for m in s.manifest_list:
+                reachable_manifests.add(m)
+        for m in reachable_manifests:
+            for e in read_manifest(table.root, m):
+                reachable_data.add(e.path)
+
+        # SWEEP: unreachable files on disk
+        deleted_data, deleted_manifests, freed = [], [], 0
+        now = time.time()
+        data_dir = os.path.join(table.root, "data")
+        for dirpath, _dirs, fnames in os.walk(data_dir):
+            for fn in fnames:
+                abs_p = os.path.join(dirpath, fn)
+                rel = os.path.relpath(abs_p, table.root)
+                if rel in reachable_data:
+                    continue
+                if now - os.path.getmtime(abs_p) < grace_s:
+                    continue
+                freed += os.path.getsize(abs_p)
+                deleted_data.append(rel)
+                if not dry_run:
+                    os.unlink(abs_p)
+        man_dir = os.path.join(table.root, "metadata", "manifests")
+        if os.path.isdir(man_dir):
+            for fn in os.listdir(man_dir):
+                rel = os.path.join("metadata", "manifests", fn)
+                if rel in reachable_manifests:
+                    continue
+                abs_p = os.path.join(table.root, rel)
+                if now - os.path.getmtime(abs_p) < grace_s:
+                    continue
+                deleted_manifests.append(rel)
+                if not dry_run:
+                    os.unlink(abs_p)
+        # stale staging dirs (crashed writers)
+        staging = os.path.join(table.root, "_staging")
+        staging_removed = 0
+        if os.path.isdir(staging):
+            for fn in os.listdir(staging):
+                p = os.path.join(staging, fn)
+                if now - os.path.getmtime(p) >= grace_s:
+                    staging_removed += 1
+                    if not dry_run:
+                        shutil.rmtree(p, ignore_errors=True)
+
+        if not dry_run and expired:
+            meta.snapshots = retained
+            cur_v = int(table._pointer_version().split(".")[0][1:])
+            new_name = f"v{cur_v + 1}.metadata.json"
+            write_json_atomic(
+                os.path.join(table.root, "metadata", new_name), meta.to_json()
+            )
+            _swap_pointer(table.root, new_name)
+
+    return {
+        "expired_snapshots": [s.snapshot_id for s in expired],
+        "retained_snapshots": [s.snapshot_id for s in retained],
+        "deleted_data_files": len(deleted_data),
+        "deleted_manifests": len(deleted_manifests),
+        "freed_bytes": freed,
+        "staging_dirs_removed": staging_removed,
+        "dry_run": dry_run,
+    }

@@ -1,0 +1,173 @@
+"""MERGE INTO — upsert/delete against a table snapshot.
+
+Semantics match the reference's generated MERGE SQL (reference:
+silver/utils/merge.py:113-173 — equi-join on merge keys, WHEN MATCHED
+THEN UPDATE SET <all cols>, WHEN NOT MATCHED THEN INSERT <all cols>),
+extended with matched-delete per BASELINE.json north_rule.
+
+From-scratch execution over our table format:
+
+  1. PRE-CHECK: merge keys must be unique in the source (the reference
+     documents duplicate-key upserts as undefined, README.md:379).
+  2. PRUNE: source key bounds (one agg) prune target files via manifest
+     min/max — only files that can contain matches are rewritten; at
+     10^12 rows a trickle merge touches a sliver of the table.
+  3. JOIN: the all-columns update+insert case reduces to
+     ``affected_target.anti(source) ∪ source`` — one left_anti join.
+     Delete: ``affected.anti(source)``. The anti-join broadcasts the
+     source when small, else sort-merge with optional key salting for
+     skew (operators/skew.py) and AQE skew-join as backstop.
+  4. REWRITE: only affected files are replaced; untouched files carry
+     over by manifest reference. Commit is one atomic snapshot with an
+     idempotency key."""
+
+from __future__ import annotations
+
+import os
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from medalforge_lakehouse_data_spark.format.table import Table
+from medalforge_lakehouse_data_spark.operators.skew import salted_join
+
+BROADCAST_ROW_LIMIT = 1_000_000
+
+
+def merge_into(
+    table: Table,
+    source: DataFrame,
+    keys: list[str],
+    spark: SparkSession,
+    when_matched: str | None = "update",  # update | delete | None
+    when_not_matched: str | None = "insert",  # insert | None
+    commit_key: str | None = None,
+    n_salts: int = 0,
+    check_unique_keys: bool = True,
+) -> dict:
+    """Execute MERGE; returns metrics dict with snapshot id and counts."""
+    if when_matched not in ("update", "delete", None):
+        raise ValueError(f"when_matched must be update|delete|None, got {when_matched}")
+    if when_not_matched not in ("insert", None):
+        raise ValueError(f"when_not_matched must be insert|None, got {when_not_matched}")
+    t0 = time.monotonic()
+    schema = table.schema
+    cols = schema.fieldNames()
+    missing = [k for k in keys if k not in cols]
+    if missing:
+        raise ValueError(f"merge keys not in table schema: {missing}")
+    source = source.select(*cols)
+    if commit_key is not None:
+        prior = table.metadata().find_commit(commit_key)
+        if prior is not None:
+            return {"snapshot_id": prior.snapshot_id, "resumed": True}
+
+    source = source.cache()
+    src_count = source.count()
+    if check_unique_keys and src_count > 0:
+        # reference precondition: duplicate merge keys ⇒ nondeterministic
+        # upsert; enforce like an is_unique check (README.md:379)
+        dup = (
+            source.groupBy(*keys).count().filter(F.col("count") > 1).limit(1).collect()
+        )
+        if dup:
+            raise ValueError(
+                f"duplicate merge keys in source, e.g. {tuple(dup[0][k] for k in keys)}"
+            )
+    if src_count == 0:
+        # reference: emptiness probe short-circuits (merge.py:151-152)
+        return {"snapshot_id": table.current_snapshot_id(), "noop": True}
+
+    # ---- prune affected target files by source key-range (metadata only)
+    k0 = keys[0]
+    b = source.agg(F.min(k0).alias("mn"), F.max(k0).alias("mx")).collect()[0]
+    affected, prune_metrics = table.plan_files(
+        filters=[(k0, "between", (b["mn"], b["mx"]))]
+    )
+    affected_paths = [e.path for e in affected]
+    if affected:
+        target = spark.read.schema(schema).parquet(
+            *[os.path.join(table.root, p) for p in affected_paths]
+        )
+    else:
+        target = spark.createDataFrame([], schema)
+
+    # ---- compute replacement rows for the affected files
+    small_source = src_count <= BROADCAST_ROW_LIMIT
+    src_for_join = F.broadcast(source.select(*keys)) if small_source else source.select(*keys)
+    if when_matched is None:
+        # matched target rows are untouched; only inserts are added
+        kept_target = target
+    elif n_salts and not small_source:
+        # Anti-joins cannot be salted directly (a row is "not matched" only
+        # if it misses on EVERY salt), so express NOT-IN as a salted INNER
+        # join marking matches, then filter the marks out. The inner join is
+        # where the hot-key skew lives; salting spreads it across n_salts
+        # tasks (north_rule skew handling). AQE skew-join remains on as a
+        # backstop for moderate skew.
+        marks = salted_join(
+            target.select(*keys),
+            source.select(*keys).distinct(),
+            keys,
+            "inner",
+            n_salts,
+        ).select(*keys).distinct().withColumn("__hit", F.lit(1))
+        kept_target = (
+            target.join(marks, keys, "left")
+            .filter(F.col("__hit").isNull())
+            .drop("__hit")
+        )
+    else:
+        kept_target = target.join(src_for_join, keys, "left_anti")
+
+    pieces = [kept_target]
+    matched_rows = None
+    if when_matched == "update":
+        # all-columns UPDATE + INSERT ⇒ every source row survives verbatim
+        if when_not_matched == "insert":
+            pieces.append(source)
+        else:
+            matched_rows = source.join(
+                target.select(*keys).distinct(), keys, "left_semi"
+            )
+            pieces.append(matched_rows)
+    elif when_matched == "delete":
+        if when_not_matched == "insert":
+            pieces.append(source.join(target.select(*keys).distinct(), keys, "left_anti"))
+    else:  # when_matched is None
+        if when_not_matched == "insert":
+            pieces.append(source.join(target.select(*keys).distinct(), keys, "left_anti"))
+
+    result = pieces[0]
+    for p in pieces[1:]:
+        result = result.unionByName(p)
+
+    # size outputs to the incoming data volume
+    bytes_affected = sum(e.bytes for e in affected)
+    target_file_bytes = int(table.metadata().properties.get(
+        "write.target-file-bytes", 128 * 1024 * 1024
+    ))
+    n_out = max(1, round((bytes_affected * 1.2 + 1) / target_file_bytes))
+    added = table._write_data_files(spark, result, target_file_count=n_out)
+    snap = table.rewrite_files(
+        affected_paths,
+        added,
+        operation="merge",
+        commit_key=commit_key or f"merge-{uuid.uuid4().hex}",
+        extra_summary={
+            "merge_keys": keys,
+            "source_rows": src_count,
+            "files_pruned": prune_metrics["files_total"] - prune_metrics["files_kept"],
+        },
+    )
+    source.unpersist()
+    return {
+        "snapshot_id": snap.snapshot_id,
+        "source_rows": src_count,
+        "affected_files": len(affected),
+        "files_total": prune_metrics["files_total"],
+        "added_files": len(added),
+        "seconds": time.monotonic() - t0,
+    }

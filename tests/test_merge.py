@@ -1,0 +1,175 @@
+"""MERGE INTO semantics (reference parity: all-columns update + insert,
+silver/utils/merge.py:158-170) + delete branch, pruning, idempotency,
+salted skew path."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from medalforge_lakehouse_data_spark.format import Table
+from medalforge_lakehouse_data_spark.operators.merge import merge_into
+from medalforge_lakehouse_data_spark.operators.skew import hot_keys, salted_join
+from medalforge_lakehouse_data_spark.testing.datagen import IMAGES_SCHEMA, images_df
+from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+SIMPLE = StructType(
+    [
+        StructField("k", LongType()),
+        StructField("val", StringType()),
+    ]
+)
+
+
+@pytest.fixture()
+def simple_table(spark, tmp_path):
+    t = Table.create(str(tmp_path / "t"), SIMPLE)
+    t.append(
+        spark,
+        spark.createDataFrame([(i, f"old_{i}") for i in range(100)], SIMPLE),
+        target_file_count=4,
+    )
+    return t
+
+
+def test_merge_update_insert(spark, simple_table):
+    t = simple_table
+    src = spark.createDataFrame(
+        [(5, "new_5"), (50, "new_50"), (200, "new_200")], SIMPLE
+    )
+    m = merge_into(t, src, ["k"], spark)
+    rows = {r.k: r.val for r in t.scan(spark).collect()}
+    assert len(rows) == 101
+    assert rows[5] == "new_5" and rows[50] == "new_50" and rows[200] == "new_200"
+    assert rows[6] == "old_6"
+
+
+def test_merge_delete(spark, simple_table):
+    t = simple_table
+    src = spark.createDataFrame([(1, "x"), (2, "x"), (999, "x")], SIMPLE)
+    merge_into(t, src, ["k"], spark, when_matched="delete", when_not_matched=None)
+    ks = {r.k for r in t.scan(spark).collect()}
+    assert 1 not in ks and 2 not in ks and 999 not in ks
+    assert len(ks) == 98
+
+
+def test_merge_delete_with_insert(spark, simple_table):
+    t = simple_table
+    src = spark.createDataFrame([(1, "x"), (999, "ins")], SIMPLE)
+    merge_into(t, src, ["k"], spark, when_matched="delete", when_not_matched="insert")
+    rows = {r.k: r.val for r in t.scan(spark).collect()}
+    assert 1 not in rows and rows[999] == "ins" and len(rows) == 100
+
+
+def test_merge_insert_only(spark, simple_table):
+    t = simple_table
+    src = spark.createDataFrame([(5, "SHOULD_NOT_APPLY"), (777, "ins")], SIMPLE)
+    merge_into(t, src, ["k"], spark, when_matched=None, when_not_matched="insert")
+    rows = {r.k: r.val for r in t.scan(spark).collect()}
+    assert rows[5] == "old_5" and rows[777] == "ins" and len(rows) == 101
+
+
+def test_merge_duplicate_source_keys_rejected(spark, simple_table):
+    src = spark.createDataFrame([(1, "a"), (1, "b")], SIMPLE)
+    with pytest.raises(ValueError, match="duplicate merge keys"):
+        merge_into(simple_table, src, ["k"], spark)
+
+
+def test_merge_empty_source_noop(spark, simple_table):
+    t = simple_table
+    before = t.current_snapshot_id()
+    m = merge_into(t, spark.createDataFrame([], SIMPLE), ["k"], spark)
+    assert m.get("noop") and t.current_snapshot_id() == before
+
+
+def test_merge_prunes_untouched_files(spark, tmp_path):
+    """Keys are range-localized → files outside the source key range are
+    carried over by reference, not rewritten."""
+    t = Table.create(str(tmp_path / "t"), SIMPLE)
+    df = spark.range(0, 10_000).select(
+        F.col("id").alias("k"), F.concat(F.lit("old_"), F.col("id")).alias("val")
+    )
+    t.append(spark, df.repartitionByRange(10, "k"), sort_within=["k"])
+    files_before = {e.path for e in t.files()}
+    assert len(files_before) == 10
+    src = spark.createDataFrame([(5, "n5"), (17, "n17")], SIMPLE)
+    m = merge_into(t, src, ["k"], spark)
+    assert m["affected_files"] < m["files_total"]
+    files_after = {e.path for e in t.files()}
+    assert files_before & files_after  # untouched files survived by reference
+    rows = t.scan(spark, filters=[("k", "in", (5, 17, 6))]).collect()
+    assert {r.k: r.val for r in rows} == {5: "n5", 17: "n17", 6: "old_6"}
+
+
+def test_merge_idempotent_commit_key(spark, simple_table):
+    t = simple_table
+    src = spark.createDataFrame([(5, "n5")], SIMPLE)
+    m1 = merge_into(t, src, ["k"], spark, commit_key="merge-X")
+    m2 = merge_into(t, src, ["k"], spark, commit_key="merge-X")
+    assert m2.get("resumed") and m1["snapshot_id"] == m2["snapshot_id"]
+    assert t.scan(spark).count() == 100
+
+
+def test_merge_images_skewed_phash(spark, tmp_path):
+    """MERGE on the image table; image_id keys, Zipf-skewed content."""
+    t = Table.create(str(tmp_path / "imgs"), IMAGES_SCHEMA)
+    t.append(spark, images_df(spark, 2000, seed=7), target_file_count=8)
+    # re-ingest overlapping slice with new captions (update) + new ids (insert)
+    upd = images_df(spark, 500, seed=7).withColumn(
+        "caption", F.concat(F.lit("UPDATED: "), F.col("caption"))
+    )
+    ins = images_df(spark, 100, seed=7, id_offset=5_000_000)
+    merge_into(t, upd.unionByName(ins), ["image_id"], spark)
+    out = t.scan(spark)
+    assert out.count() == 2100
+    assert out.filter(F.col("caption").startswith("UPDATED: ")).count() == 500
+
+
+def test_salted_join_matches_plain_join(spark):
+    big = spark.range(0, 20_000).select(
+        (F.col("id") % 50).alias("k"), F.col("id").alias("v")
+    )
+    small = spark.createDataFrame(
+        [(i, f"s{i}") for i in range(0, 50, 2)], ["k", "s"]
+    )
+    plain = big.join(small, ["k"], "inner")
+    salted = salted_join(big, small, ["k"], "inner", n_salts=8)
+    assert salted.count() == plain.count()
+    a = {(r.k, r.v, r.s) for r in plain.collect()}
+    b = {(r.k, r.v, r.s) for r in salted.collect()}
+    assert a == b
+
+
+def test_hot_keys_detects_zipf_head(spark):
+    df = images_df(spark, 2000, seed=7)
+    hk = hot_keys(df, ["phash"], threshold_ratio=0.05)
+    assert len(hk) >= 1  # zipf head key holds ~25% of rows
+
+
+def test_merge_salted_path_correct(spark, tmp_path):
+    """Force the salted anti-join path (broadcast limit 0) and compare to
+    the plain path result."""
+    import medalforge_lakehouse_data_spark.operators.merge as mg
+
+    t = Table.create(str(tmp_path / "t"), SIMPLE)
+    t.append(
+        spark,
+        spark.createDataFrame([(i % 20, f"old_{i}") for i in range(1000)], SIMPLE),
+        target_file_count=4,
+    )
+    src = spark.createDataFrame([(k, f"new_{k}") for k in range(0, 20, 3)], SIMPLE)
+    old_limit = mg.BROADCAST_ROW_LIMIT
+    mg.BROADCAST_ROW_LIMIT = 0
+    try:
+        merge_into(t, src, ["k"], spark, n_salts=8)
+    finally:
+        mg.BROADCAST_ROW_LIMIT = old_limit
+    rows = t.scan(spark).collect()
+    # every key in src got collapsed to ONE row (source verbatim);
+    # duplicate-key target rows (k%3!=0) survive untouched
+    by_k = {}
+    for r in rows:
+        by_k.setdefault(r.k, []).append(r.val)
+    for k in range(0, 20, 3):
+        assert by_k[k] == [f"new_{k}"], by_k[k]
+    assert len(by_k[1]) == 50  # untouched duplicate-key rows intact
