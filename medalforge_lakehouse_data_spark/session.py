@@ -40,6 +40,10 @@ def get_spark(
         # executor-memory-sized chunks (128 MB default is right; explicit).
         .config("spark.sql.files.maxPartitionBytes", "134217728")
         .config("spark.sql.session.timeZone", "UTC")
+        # Reference semantics are Spark 3.x / DBR non-ANSI: malformed
+        # casts/dates yield NULL (then quarantined by checks) instead of
+        # failing the job; contract sql_expressions rely on this.
+        .config("spark.sql.ansi.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
     )

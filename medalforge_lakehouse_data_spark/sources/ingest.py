@@ -1,0 +1,203 @@
+"""Incremental file ingest — Auto Loader semantics without Databricks.
+
+Reference behavior being reproduced (reference:
+bronze/interfaces/ingestor_interfaces.py:203-268 and
+bronze/ingestors/ingestors.py): declared-schema CSV/JSON/TXT reads,
+reader-option defaults, corrupt-record capture, audit columns,
+availableNow-style drain of the backlog, checkpointing so re-runs only
+process new files, includeExistingFiles toggle, reprocess-label
+isolation (orchestrator.py:80-83).
+
+Two engines, same semantics:
+  * ``ingest_batch``: a processed-file ledger (JSON) + batch reads —
+    deterministic, resumable, the default here.
+  * ``ingest_stream``: real Structured Streaming (spark.readStream +
+    trigger(availableNow=True) + foreachBatch into the table) for
+    environments where continuous ingest is wanted.
+
+Corrupt records: Databricks badRecordsPath is unavailable in OSS, so we
+use PERMISSIVE mode + columnNameOfCorruptRecord and divert bad rows to
+a side sink (SURVEY.md S1)."""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StringType, StructField, StructType
+
+from medalforge_lakehouse_data_spark.format.table import Table
+from medalforge_lakehouse_data_spark.operators.etl_core import add_audit_columns
+
+_CORRUPT = "_corrupt_record"
+
+SUPPORTED_FORMATS = ("csv", "json", "txt")
+
+
+@dataclass
+class IngestResult:
+    files_processed: int
+    rows_ingested: int
+    rows_corrupt: int
+    snapshot_id: int | None
+    skipped: bool = False
+
+
+class FileLedger:
+    """Processed-file set (the role of Auto Loader's RocksDB checkpoint).
+    Isolated per reprocess_label like the reference's checkpoint dirs."""
+
+    def __init__(self, checkpoint_dir: str, reprocess_label: str | None = None):
+        suffix = f"_{reprocess_label}" if reprocess_label else ""
+        self.path = os.path.join(checkpoint_dir, f"processed{suffix}.json")
+        os.makedirs(checkpoint_dir, exist_ok=True)
+
+    def processed(self) -> set[str]:
+        if not os.path.exists(self.path):
+            return set()
+        with open(self.path) as f:
+            return set(json.load(f))
+
+    def add(self, files: list[str]) -> None:
+        merged = sorted(self.processed() | set(files))
+        tmp = f"{self.path}.tmp.{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            json.dump(merged, f)
+        os.replace(tmp, self.path)
+
+
+def _reader(spark: SparkSession, fmt: str, schema: StructType, options: dict):
+    fmt = "csv" if fmt == "txt" else fmt
+    schema_plus = StructType(list(schema.fields) + [StructField(_CORRUPT, StringType())])
+    reader = (
+        spark.read.format(fmt)
+        .schema(schema_plus)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", _CORRUPT)
+    )
+    for k, v in options.items():
+        if k == "delimiter":
+            k = "sep"
+        if k == "multiline":
+            k = "multiLine"
+        reader = reader.option(k, v if not isinstance(v, bool) else str(v).lower())
+    return reader
+
+
+def list_source_files(source_dir: str, fmt: str) -> list[str]:
+    exts = {"csv": (".csv",), "json": (".json", ".jsonl"), "txt": (".txt",)}[fmt]
+    out = []
+    for dirpath, _dirs, files in os.walk(source_dir):
+        for fn in files:
+            if fn.lower().endswith(exts):
+                out.append(os.path.join(dirpath, fn))
+    return sorted(out)
+
+
+def ingest_batch(
+    spark: SparkSession,
+    source_dir: str,
+    fmt: str,
+    schema: StructType,
+    table: Table,
+    checkpoint_dir: str,
+    reader_options: dict | None = None,
+    include_existing: bool = True,
+    reprocess_label: str | None = None,
+    bad_records_table: Table | None = None,
+) -> IngestResult:
+    """availableNow-equivalent: drain the current backlog once.
+
+    New files = listing minus ledger; commit_key is the content hash of
+    the batch file set, so a crash between append and ledger update
+    resumes without duplicate rows."""
+    if fmt not in SUPPORTED_FORMATS:
+        raise ValueError(f"unsupported format {fmt!r}")
+    ledger = FileLedger(checkpoint_dir, reprocess_label)
+    done = ledger.processed()
+    all_files = list_source_files(source_dir, fmt)
+    if not include_existing and not done:
+        # reference: includeExistingFiles=false skips the pre-existing
+        # backlog on first run (ingestor_interfaces.py:237-240)
+        ledger.add(all_files)
+        return IngestResult(0, 0, 0, table.current_snapshot_id(), skipped=True)
+    new_files = [f for f in all_files if f not in done]
+    if not new_files:
+        return IngestResult(0, 0, 0, table.current_snapshot_id(), skipped=True)
+
+    # cache before touching _corrupt_record: Spark forbids predicates on
+    # the corrupt-record column over raw files (QUERY_ONLY_CORRUPT_RECORD)
+    df = _reader(spark, fmt, schema, reader_options or {}).load(new_files).cache()
+    good = df.filter(F.col(_CORRUPT).isNull()).drop(_CORRUPT)
+    bad = df.filter(F.col(_CORRUPT).isNotNull())
+    good = add_audit_columns(good)
+
+    import hashlib
+
+    batch_key = hashlib.sha256("\n".join(new_files).encode()).hexdigest()[:16]
+    n_bad = 0
+    if bad_records_table is not None:
+        bad_rows = bad.select(
+            F.input_file_name().alias("source_file"),
+            F.col(_CORRUPT).alias("record"),
+            F.current_timestamp().alias("captured_ts"),
+        )
+        n_bad = bad_rows.count()
+        if n_bad:
+            bad_records_table.append(spark, bad_rows, commit_key=f"bad-{batch_key}")
+    else:
+        n_bad = bad.count()
+
+    snap = table.append(spark, good, commit_key=f"ingest-{batch_key}")
+    ledger.add(new_files)
+    rows = snap.summary.get("added_rows", 0)
+    return IngestResult(len(new_files), rows, n_bad, snap.snapshot_id)
+
+
+def ingest_stream(
+    spark: SparkSession,
+    source_dir: str,
+    fmt: str,
+    schema: StructType,
+    table: Table,
+    checkpoint_dir: str,
+    reader_options: dict | None = None,
+) -> IngestResult:
+    """Structured Streaming variant: readStream → foreachBatch append →
+    trigger(availableNow=True) drains the backlog then stops (reference
+    T1 semantics). Spark's own checkpoint tracks processed files; the
+    per-microbatch commit_key keeps table commits idempotent on replay."""
+    fmt_r = "csv" if fmt == "txt" else fmt
+    reader = spark.readStream.format(fmt_r).schema(schema)
+    for k, v in (reader_options or {}).items():
+        if k == "delimiter":
+            k = "sep"
+        if k == "multiline":
+            k = "multiLine"
+        reader = reader.option(k, v if not isinstance(v, bool) else str(v).lower())
+    stream = reader.load(source_dir)
+    stream = add_audit_columns(stream)
+    counts = {"rows": 0, "batches": 0}
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        snap = table.append(
+            batch_df.sparkSession, batch_df, commit_key=f"stream-{checkpoint_dir}-{batch_id}"
+        )
+        counts["rows"] += snap.summary.get("added_rows", 0)
+        counts["batches"] += 1
+
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", os.path.join(checkpoint_dir, "stream"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return IngestResult(
+        counts["batches"], counts["rows"], 0, table.current_snapshot_id()
+    )
