@@ -1,0 +1,161 @@
+"""Approximate-nearest-neighbor search over embedding columns.
+
+Three tiers, per the graft brief:
+
+  cosine_expr         pure Column cosine (zip_with/aggregate — JVM-side)
+  brute_force_topk    exact top-k: broadcast queries × full scan, one
+                      shuffle for the per-query top-k (the baseline)
+  ivf_topk            IVF: k-means-lite centroids (driver-side numpy on a
+                      sample), each vector assigned to its nearest
+                      centroid; queries probe n_probe cells → candidate
+                      set shrinks ~nlist/n_probe-fold before exact rank
+  hyperplane LSH      sign-bucket join (shared with dedup)
+
+At 100 TB the brute-force path is a full scan per query batch —
+IVF/LSH cut the scanned fraction; both verify with exact cosine so
+precision is exact, only recall is approximate."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import IntegerType, LongType
+from pyspark.sql.window import Window
+
+
+def cosine_expr(a, b):
+    """Cosine similarity between two array<float> Columns — built-in
+    higher-order functions only (whole-stage codegen, no Python)."""
+    dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                      F.lit(0.0), lambda acc, v: acc + v)
+    na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+    nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda acc, v: acc + v * v))
+    return (dot / (na * nb)).cast("double")
+
+
+def brute_force_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    k: int = 10,
+) -> DataFrame:
+    """Exact cosine top-k per query. Queries are broadcast (they are the
+    small side by construction); the corpus is scanned once regardless
+    of query count. Output: (query_id, vec_id, cosine, rank)."""
+    joined = vectors.crossJoin(F.broadcast(queries))
+    scored = joined.select(
+        F.col(query_id_col),
+        F.col(id_col),
+        cosine_expr(F.col(vec_col), F.col(query_vec_col)).alias("cosine"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.col(id_col))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def _kmeans_lite(sample: np.ndarray, nlist: int, iters: int = 8, seed: int = 42) -> np.ndarray:
+    """Tiny k-means on a driver-side sample (numpy). The sample is small
+    (≤ ~50k × dim); the expensive assignment of the full corpus happens
+    distributed in assign_cells."""
+    rng = np.random.default_rng(seed)
+    cent = sample[rng.choice(len(sample), size=min(nlist, len(sample)), replace=False)].copy()
+    for _ in range(iters):
+        # cosine assignment ≈ dot on normalized rows
+        s = sample / (np.linalg.norm(sample, axis=1, keepdims=True) + 1e-9)
+        c = cent / (np.linalg.norm(cent, axis=1, keepdims=True) + 1e-9)
+        assign = np.argmax(s @ c.T, axis=1)
+        for j in range(len(cent)):
+            m = sample[assign == j]
+            if len(m):
+                cent[j] = m.mean(axis=0)
+    return cent
+
+
+def centroid_assign_udf(centroids: np.ndarray):
+    """pandas UDF: embedding → nearest-centroid cell id (vectorized
+    matmul per Arrow batch)."""
+    c = centroids / (np.linalg.norm(centroids, axis=1, keepdims=True) + 1e-9)
+
+    @pandas_udf(IntegerType())
+    def _assign(vecs: pd.Series) -> pd.Series:
+        m = np.stack(vecs.to_numpy())
+        m = m / (np.linalg.norm(m, axis=1, keepdims=True) + 1e-9)
+        return pd.Series(np.argmax(m @ c.T, axis=1).astype(np.int32))
+
+    return _assign
+
+
+def train_ivf_centroids(
+    vectors: DataFrame, vec_col: str, nlist: int, sample_rows: int = 20_000,
+    seed: int = 42,
+) -> np.ndarray:
+    pdf = (
+        vectors.select(vec_col)
+        .sample(fraction=1.0, seed=seed)
+        .limit(sample_rows)
+        .toPandas()
+    )
+    sample = np.stack(pdf[vec_col].to_numpy())
+    return _kmeans_lite(sample, nlist, seed=seed)
+
+
+def ivf_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    k: int = 10,
+    nlist: int = 16,
+    n_probe: int = 4,
+    centroids: np.ndarray | None = None,
+) -> DataFrame:
+    """IVF ANN: corpus bucketed by nearest centroid; each query probes
+    its n_probe nearest cells; exact cosine rank within candidates.
+    Scanned fraction ≈ n_probe/nlist of the corpus per query."""
+    if centroids is None:
+        centroids = train_ivf_centroids(vectors, vec_col, nlist)
+    assign = centroid_assign_udf(centroids)
+    corpus = vectors.withColumn("_cell", assign(F.col(vec_col)))
+
+    cn = centroids / (np.linalg.norm(centroids, axis=1, keepdims=True) + 1e-9)
+
+    @pandas_udf("array<int>")
+    def probe_cells(qv: pd.Series) -> pd.Series:
+        m = np.stack(qv.to_numpy())
+        m = m / (np.linalg.norm(m, axis=1, keepdims=True) + 1e-9)
+        sims = m @ cn.T
+        order = np.argsort(-sims, axis=1)[:, :n_probe].astype(np.int32)
+        return pd.Series(list(order))
+
+    q = queries.withColumn("_cells", probe_cells(F.col(query_vec_col)))
+    q = q.select(query_id_col, query_vec_col, F.explode("_cells").alias("_cell"))
+    cand = corpus.join(F.broadcast(q), "_cell")
+    scored = cand.select(
+        F.col(query_id_col),
+        F.col(id_col),
+        cosine_expr(F.col(vec_col), F.col(query_vec_col)).alias("cosine"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.col(id_col))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def hyperplane_bucket_udf(dim: int, n_planes: int = 12, seed: int = 42):
+    """pandas UDF: embedding → LSH sign-bucket (random hyperplanes)."""
+    rng = np.random.default_rng(seed)
+    planes = rng.normal(size=(n_planes, dim)).astype(np.float64)
+    weights = (1 << np.arange(n_planes, dtype=np.int64))
+
+    @pandas_udf(LongType())
+    def _bucket(vecs: pd.Series) -> pd.Series:
+        m = np.stack(vecs.to_numpy())
+        signs = (m @ planes.T) > 0
+        return pd.Series((signs @ weights).astype(np.int64))
+
+    return _bucket
