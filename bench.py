@@ -1,0 +1,164 @@
+"""Benchmark harness — prints ONE JSON line.
+
+Covers the two performance surfaces BASELINE.md tracks:
+  1. Headline analytical/operator queries over $SPARK_GRAFT_SF_DIR
+     (default /root/testdata/sf0.1).
+  2. The maintenance engine on a synthetic image table (BASELINE.json
+     metric): compaction + clustering GB/min and files/min, scan-pruning
+     speedup after Z-order, MERGE throughput.
+
+Env knobs: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS (default all),
+BENCH_IMAGE_ROWS (default 12000), BENCH_SKIP_MAINTENANCE=1.
+Two-parallelism scaling evidence is produced by tools/bench_scaling.py
+(results recorded in BENCH/BASELINE.md), not here — the driver runs
+this file per-round at one parallelism.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+IMAGE_ROWS = int(os.environ.get("BENCH_IMAGE_ROWS", "12000"))
+
+HEADLINE = [
+    "pricing_summary",
+    "shipping_priority",
+    "local_suppliers",
+    "top_orders_per_customer",
+    "events_by_type",
+    "etl_dedup_agg",
+    "check_unique_flag",
+    "docs_token_stats",
+    "docs_lang_id",
+    "docs_ngram_jaccard",
+    "docs_minhash_near_dup",
+    "ann_topk",
+    "emb_near_dup",
+]
+
+
+def _sf_label(path: str) -> float:
+    base = os.path.basename(path.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+def bench_queries(spark, timings: dict) -> None:
+    import __spark_entry__ as em
+
+    qs = em.queries()
+    for name in HEADLINE:
+        fn = qs[name]
+        t0 = time.monotonic()
+        n = fn(spark, SF_DIR).count()
+        timings[name] = round(time.monotonic() - t0, 3)
+
+
+def bench_maintenance(spark, timings: dict, extra: dict) -> None:
+    from pyspark.sql import functions as F
+
+    from medalforge_lakehouse_data_spark.format.table import Table
+    from medalforge_lakehouse_data_spark.maintenance import clustering, compaction
+    from medalforge_lakehouse_data_spark.operators.merge import merge_into
+    from medalforge_lakehouse_data_spark.testing.datagen import IMAGES_SCHEMA, images_df
+
+    with tempfile.TemporaryDirectory() as tmp:
+        t = Table.create(os.path.join(tmp, "imgs"), IMAGES_SCHEMA, partition_spec=["fmt"])
+        t0 = time.monotonic()
+        t.append(spark, images_df(spark, IMAGE_ROWS, seed=99),
+                 target_file_count=max(64, CPUS * 4), commit_key="bench-ingest")
+        timings["maint_ingest"] = round(time.monotonic() - t0, 3)
+        table_bytes = t.metadata().current_snapshot().summary["total_bytes"]
+        extra["image_table_mb"] = round(table_bytes / 1e6, 1)
+
+        # pruning BEFORE clustering (baseline scan time + files touched)
+        flt = [("phash", "between", (-(2**62), 0)), ("w", "=", 64)]
+        m_pre: dict = {}
+        t0 = time.monotonic()
+        n_pre = t.scan(spark, filters=flt, metrics_out=m_pre).count()
+        timings["scan_pre_cluster"] = round(time.monotonic() - t0, 3)
+
+        t0 = time.monotonic()
+        cm = compaction.compact(t, spark, target_file_bytes=256 * 1024 * 1024)
+        dt = time.monotonic() - t0
+        timings["maint_compact"] = round(dt, 3)
+        extra["compact_gb_per_min"] = round((cm["bytes_in"] / 1e9) / (dt / 60), 3)
+        extra["compact_files_per_min"] = round(cm["files_in"] / (dt / 60), 1)
+        extra["compact_files"] = f"{cm['files_in']}->{cm['files_out']}"
+
+        # recompute: compaction shrinks bytes a lot (dictionary encoding of
+        # Zipf-duplicated blobs), and the cluster target sizes output files
+        post_compact_bytes = sum(e.bytes for e in t.files())
+        t0 = time.monotonic()
+        km = clustering.cluster_rewrite(
+            t, spark, columns=("phash", "w", "h"), curve="zorder",
+            target_file_bytes=max(1, post_compact_bytes // max(16, CPUS)),
+        )
+        dt = time.monotonic() - t0
+        timings["maint_cluster"] = round(dt, 3)
+        extra["cluster_gb_per_min"] = round((km["bytes_in"] / 1e9) / (dt / 60), 3)
+        extra["cluster_files_out"] = km["files_out"]
+
+        m_post: dict = {}
+        t0 = time.monotonic()
+        n_post = t.scan(spark, filters=flt, metrics_out=m_post).count()
+        timings["scan_post_cluster"] = round(time.monotonic() - t0, 3)
+        assert n_pre == n_post, "pruned scan changed results"
+        extra["prune_files_pre"] = f"{m_pre['files_kept']}/{m_pre['files_total']}"
+        extra["prune_files_post"] = f"{m_post['files_kept']}/{m_post['files_total']}"
+        kept_frac_pre = m_pre["files_kept"] / max(1, m_pre["files_total"])
+        kept_frac_post = m_post["files_kept"] / max(1, m_post["files_total"])
+        extra["prune_skip_ratio_post"] = round(1 - kept_frac_post, 3)
+        extra["prune_speedup_scan_sec"] = round(
+            timings["scan_pre_cluster"] / max(1e-9, timings["scan_post_cluster"]), 2
+        )
+
+        # MERGE: update 5% + insert 1%
+        upd = images_df(spark, IMAGE_ROWS // 20, seed=99).withColumn(
+            "caption", F.concat(F.lit("v2 "), F.col("caption"))
+        )
+        ins = images_df(spark, IMAGE_ROWS // 100, seed=99, id_offset=50_000_000)
+        t0 = time.monotonic()
+        mm = merge_into(t, upd.unionByName(ins), ["image_id"], spark, commit_key="bench-merge")
+        dt = time.monotonic() - t0
+        timings["maint_merge"] = round(dt, 3)
+        extra["merge_affected_files"] = f"{mm['affected_files']}/{mm['files_total']}"
+
+
+def main():
+    from medalforge_lakehouse_data_spark.session import get_spark
+
+    spark = get_spark(app_name="mf-bench", master=f"local[{CPUS}]",
+                      shuffle_partitions=max(CPUS, 8))
+    spark.sparkContext.setLogLevel("ERROR")
+    timings: dict = {}
+    extra: dict = {}
+    t_all = time.monotonic()
+    bench_queries(spark, timings)
+    if os.environ.get("BENCH_SKIP_MAINTENANCE") != "1":
+        bench_maintenance(spark, timings, extra)
+    total = round(time.monotonic() - t_all, 3)
+    out = {
+        "metric": "total wall-clock for headline queries + maintenance suite",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": _sf_label(SF_DIR),
+        "cpus": CPUS,
+        "maintenance": extra,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -52,12 +52,18 @@ def file_stats(abs_path: str, stat_columns: list[str] | None = None) -> tuple[in
             if want is not None and name not in want:
                 continue
             col = rg_md.column(i)
-            st = col.statistics
+            try:
+                st = col.statistics
+            except Exception:
+                continue  # pyarrow can't extract stats for some types (e.g. decimal)
             if st is None:
                 continue
             cur = stats.setdefault(name, ColumnStats())
-            mn = st.min if st.has_min_max else None
-            mx = st.max if st.has_min_max else None
+            try:
+                mn = st.min if st.has_min_max else None
+                mx = st.max if st.has_min_max else None
+            except Exception:
+                mn = mx = None
             # Binary payloads (non-UTF8) produce bytes min/max — drop them,
             # range pruning over opaque image bytes is meaningless.
             if isinstance(mn, bytes) and schema.column(i).logical_type.type != "STRING":

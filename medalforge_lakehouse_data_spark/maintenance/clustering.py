@@ -121,8 +121,17 @@ def cluster_rewrite(
 
     df = table.scan(spark, snapshot_id)
     keyed = with_curve_key(df, columns, bounds, curve)
+    # Skew guard: with Zipf-heavy keys (one phash = 25% of rows) the range
+    # partitioner's sampled boundaries collapse onto the hot key and most
+    # output partitions come out empty. A deterministic high-cardinality
+    # tie-breaker spreads equal-key rows across partitions while keeping
+    # the curve order — per-file min/max bounds stay tight.
+    non_binary = [
+        f.name for f in table.schema.fields if f.dataType.typeName() != "binary"
+    ]
+    keyed = keyed.withColumn("_ztie", F.xxhash64(*[F.col(c) for c in non_binary]))
     added = table._write_data_files(
-        spark, keyed, target_file_count=n_out, sort_within=["_zkey"]
+        spark, keyed, target_file_count=n_out, sort_within=["_zkey", "_ztie"]
     )
     snap = table.rewrite_files(
         [e.path for e in files],

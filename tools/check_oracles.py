@@ -1,0 +1,106 @@
+"""Local replica of the driver's correctness gate: run every queries()
+entry on Spark and its oracle_sql() on DuckDB at sf0.01; compare row
+count, column names, and an order-insensitive value hash.
+
+Usage: python tools/check_oracles.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def norm_cell(v):
+    import datetime
+    import decimal
+
+    if v is None:
+        return "␀"
+    if isinstance(v, bool):
+        return str(v).lower()
+    if isinstance(v, decimal.Decimal):
+        return f"{v:f}"
+    if isinstance(v, float):
+        return f"{v:.10g}"
+    if isinstance(v, datetime.datetime):
+        return v.isoformat()
+    if isinstance(v, datetime.date):
+        return v.isoformat()
+    return str(v)
+
+
+def table_hash(cols: list[str], rows: list[tuple]) -> tuple[int, str]:
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    lines = sorted(
+        "|".join(norm_cell(r[i]) for i in order) for r in rows
+    )
+    h = hashlib.sha256("\n".join(lines).encode()).hexdigest()[:16]
+    return len(rows), h
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+    import __spark_entry__ as entrymod
+    from medalforge_lakehouse_data_spark.session import get_spark
+
+    spark = get_spark(master="local[8]", shuffle_partitions=8)
+    con = duckdb.connect()
+    for t in TABLES:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    failures = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        try:
+            sdf = fn(spark, sf_dir)
+            srows = sdf.collect()
+            scols = sdf.columns
+            sn, sh = table_hash(scols, [tuple(r) for r in srows])
+        except Exception as e:
+            failures.append(name)
+            print(f"FAIL  {name}: spark error {type(e).__name__}: {e}")
+            continue
+        if name not in oracles:
+            print(f"rows  {name}: {sn} rows (rows-only, no oracle)")
+            continue
+        try:
+            res = con.execute(oracles[name])
+            ocols = [d[0] for d in res.description]
+            orows = res.fetchall()
+            on, oh = table_hash(ocols, orows)
+        except Exception as e:
+            failures.append(name)
+            print(f"FAIL  {name}: duckdb error {e}")
+            continue
+        if sorted(scols) != sorted(ocols):
+            failures.append(name)
+            print(f"FAIL  {name}: columns {sorted(scols)} vs {sorted(ocols)}")
+        elif sn != on:
+            failures.append(name)
+            print(f"FAIL  {name}: rows {sn} vs {on}")
+        elif sh != oh:
+            failures.append(name)
+            print(f"FAIL  {name}: value hash mismatch ({sn} rows)")
+        else:
+            print(f"OK    {name}: {sn} rows hash={sh}")
+    print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
+    sys.exit(1 if failures else 0)
+
+
+if __name__ == "__main__":
+    main()
