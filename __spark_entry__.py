@@ -122,6 +122,80 @@ def q_events_by_type(spark, sf):
     )
 
 
+def q_forecast_revenue(spark, sf):
+    """TPC-H Q6-style: tight filter + single agg (predicate-pushdown path)."""
+    li = _t(spark, sf, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= F.lit("1995-01-01"))
+        & (F.col("l_shipdate") < F.lit("1996-01-01"))
+        & (F.col("l_discount").between(0.03, 0.07))
+        & (F.col("l_quantity") < 24)
+    ).agg(
+        F.sum(
+            (F.col("l_extendedprice").cast("decimal(18,2)")
+             * F.col("l_discount").cast("decimal(18,2)")).cast("decimal(18,4)")
+        ).alias("revenue"),
+        F.count("*").alias("n"),
+    )
+
+
+def q_semi_join_customers_with_orders(spark, sf):
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_mktsegment"
+    )
+
+
+def q_anti_join_customers_without_orders(spark, sf):
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders").filter(F.col("o_orderstatus") == "F")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+def q_having_big_orders(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    return (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("total_qty"))
+        .filter(F.col("total_qty") > 150)
+    )
+
+
+def q_distinct_agg(spark, sf):
+    o = _t(spark, sf, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.countDistinct("o_custkey").alias("n_cust"),
+        F.countDistinct("o_orderpriority").alias("n_prio"),
+        F.count("*").alias("n"),
+    ).orderBy("o_orderstatus")
+
+
+def q_avg_over_subquery(spark, sf):
+    """Scalar-subquery pattern: orders above the global average price."""
+    o = _t(spark, sf, "orders")
+    avg_price = o.agg(F.avg(F.col("o_totalprice").cast("decimal(18,2)")).alias("a"))
+    return (
+        o.crossJoin(F.broadcast(avg_price))
+        .filter(F.col("o_totalprice") > F.col("a") * 1.5)
+        .select("o_orderkey", "o_totalprice")
+    )
+
+
+def q_date_rollup_monthly(spark, sf):
+    o = _t(spark, sf, "orders")
+    return (
+        o.groupBy(
+            F.year("o_orderdate").alias("ano"), F.month("o_orderdate").alias("mes")
+        )
+        .agg(F.count("*").alias("n_orders"),
+             F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("total"))
+        .orderBy("ano", "mes")
+    )
+
+
 # ---------------------------------------------------------------------------
 # ETL core steps (reference parity — SURVEY.md §2.2/2.5/2.8)
 
@@ -472,6 +546,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "local_suppliers": q_local_suppliers,
         "top_orders_per_customer": q_top_orders_per_customer,
         "events_by_type": q_events_by_type,
+        "forecast_revenue": q_forecast_revenue,
+        "semi_join_customers": q_semi_join_customers_with_orders,
+        "anti_join_customers": q_anti_join_customers_without_orders,
+        "having_big_orders": q_having_big_orders,
+        "distinct_agg": q_distinct_agg,
+        "avg_over_subquery": q_avg_over_subquery,
+        "date_rollup_monthly": q_date_rollup_monthly,
         "etl_trim": q_etl_trim,
         "etl_cast": q_etl_cast,
         "etl_normalize_dates": q_etl_normalize_dates,
@@ -559,6 +640,46 @@ def oracle_sql() -> dict[str, str]:
                    sum(cast(value as decimal(18,4))) AS sum_value,
                    count(distinct user_id) AS n_users
             FROM events GROUP BY event_type
+        """,
+        "forecast_revenue": """
+            SELECT sum(cast(cast(l_extendedprice as decimal(18,2))
+                       * cast(l_discount as decimal(18,2)) as decimal(18,4))) AS revenue,
+                   count(*) AS n
+            FROM lineitem
+            WHERE l_shipdate >= timestamp '1995-01-01'
+              AND l_shipdate <  timestamp '1996-01-01'
+              AND l_discount BETWEEN 0.03 AND 0.07
+              AND l_quantity < 24
+        """,
+        "semi_join_customers": """
+            SELECT c_custkey, c_mktsegment FROM customer
+            WHERE c_custkey IN (SELECT o_custkey FROM orders)
+        """,
+        "anti_join_customers": """
+            SELECT c_custkey, c_name FROM customer
+            WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
+                                    WHERE o_orderstatus = 'F')
+        """,
+        "having_big_orders": """
+            SELECT l_orderkey, sum(cast(l_quantity as decimal(18,2))) AS total_qty
+            FROM lineitem GROUP BY l_orderkey
+            HAVING sum(cast(l_quantity as decimal(18,2))) > 150
+        """,
+        "distinct_agg": """
+            SELECT o_orderstatus, count(distinct o_custkey) AS n_cust,
+                   count(distinct o_orderpriority) AS n_prio, count(*) AS n
+            FROM orders GROUP BY o_orderstatus
+        """,
+        "avg_over_subquery": """
+            SELECT o_orderkey, o_totalprice FROM orders
+            WHERE o_totalprice > (SELECT avg(cast(o_totalprice as decimal(18,2)))
+                                  FROM orders) * 1.5
+        """,
+        "date_rollup_monthly": """
+            SELECT year(o_orderdate) AS ano, month(o_orderdate) AS mes,
+                   count(*) AS n_orders,
+                   sum(cast(o_totalprice as decimal(18,2))) AS total
+            FROM orders GROUP BY 1, 2
         """,
         "etl_trim": """
             SELECT c_custkey, trim('  ' || c_name || '  ') AS c_name FROM customer

@@ -75,7 +75,7 @@ def bench_maintenance(spark, timings: dict, extra: dict) -> None:
     with tempfile.TemporaryDirectory() as tmp:
         t = Table.create(os.path.join(tmp, "imgs"), IMAGES_SCHEMA, partition_spec=["fmt"])
         t0 = time.monotonic()
-        t.append(spark, images_df(spark, IMAGE_ROWS, seed=99),
+        t.append(spark, images_df(spark, IMAGE_ROWS, seed=99, partitions=CPUS * 2),
                  target_file_count=max(64, CPUS * 4), commit_key="bench-ingest")
         timings["maint_ingest"] = round(time.monotonic() - t0, 3)
         table_bytes = t.metadata().current_snapshot().summary["total_bytes"]
@@ -145,6 +145,9 @@ def main():
     extra: dict = {}
     t_all = time.monotonic()
     bench_queries(spark, timings)
+    # drop caches left by dedup/minhash query plans so the maintenance
+    # phase is measured on a quiet executor
+    spark.catalog.clearCache()
     if os.environ.get("BENCH_SKIP_MAINTENANCE") != "1":
         bench_maintenance(spark, timings, extra)
     total = round(time.monotonic() - t_all, 3)

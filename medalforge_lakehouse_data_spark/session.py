@@ -44,7 +44,11 @@ def get_spark(
         # casts/dates yield NULL (then quarantined by checks) instead of
         # failing the job; contract sql_expressions rely on this.
         .config("spark.sql.ansi.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # local mode runs every executor thread inside the driver JVM: with
+        # 32 concurrent tasks writing parquet (row-group buffers) and moving
+        # Arrow batches of image bytes, an 8g heap GC-thrashes. Size for the
+        # machine (cluster deployments override via spark-submit).
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():
