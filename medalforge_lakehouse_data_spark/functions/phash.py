@@ -49,13 +49,32 @@ def _resize_area_32(g: np.ndarray) -> np.ndarray:
     return (sums / areas).astype(np.float32)
 
 
+_FLAT_STD = 1.0  # low-freq energy floor; typical images are in the hundreds
+
+
 def phash64(pixels: np.ndarray) -> int:
-    """Perceptual hash of a decoded image → Python int (int64 range)."""
+    """Perceptual hash of a decoded image → Python int (int64 range).
+
+    Flat/ultra-low-contrast images get the canonical hash 0: their DCT
+    block is numerical noise (~1e-4), so median-thresholding would turn
+    codec rounding into random bits and any tiny perturbation would flip
+    half the hash. The 0 hash makes all flat images mutual duplicates,
+    which is the behavior dedup pipelines want for blank frames."""
     small = _resize_area_32(_to_gray(pixels))
     d = _D32 @ small @ _D32.T
     low = d[:8, :8].flatten()
+    spread = np.std(low[1:])
+    if spread < _FLAT_STD:
+        return 0
     med = np.median(low[1:])
-    bits = (low > med).astype(np.uint64)
+    # Noise margin: for smooth images most AC coefficients are ~0 and the
+    # median sits in the codec-noise floor — a raw (low > med) comparison
+    # turns rounding noise into coin-flip bits. Requiring coefficients to
+    # clear the median by 2% of the block's spread makes near-zero
+    # coefficients stably 0 while leaving substantial ones untouched.
+    # the absolute floor (3.0) covers lossy-codec quantization noise on
+    # sparse-spectrum images where one big coefficient dwarfs the spread
+    bits = (low > med + max(0.02 * spread, 3.0)).astype(np.uint64)
     val = np.uint64(0)
     for b in bits:  # 64 iterations, negligible
         val = (val << np.uint64(1)) | b

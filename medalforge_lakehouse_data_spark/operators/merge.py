@@ -144,12 +144,20 @@ def merge_into(
     for p in pieces[1:]:
         result = result.unionByName(p)
 
-    # size outputs to the incoming data volume
+    # size outputs to the incoming data volume; the rows-based floor covers
+    # insert-heavy merges where no existing file is affected (bytes=0)
+    import math
+
+    props = table.metadata().properties
     bytes_affected = sum(e.bytes for e in affected)
-    target_file_bytes = int(table.metadata().properties.get(
-        "write.target-file-bytes", 128 * 1024 * 1024
-    ))
-    n_out = max(1, round((bytes_affected * 1.2 + 1) / target_file_bytes))
+    rows_est = sum(e.rows for e in affected) + src_count
+    target_file_bytes = int(props.get("write.target-file-bytes", 128 * 1024 * 1024))
+    rows_per_file = int(props.get("write.target-rows-per-file", 1_000_000))
+    n_out = max(
+        1,
+        round((bytes_affected * 1.2) / target_file_bytes),
+        math.ceil(rows_est / max(1, rows_per_file)),
+    )
     added = table._write_data_files(spark, result, target_file_count=n_out)
     snap = table.rewrite_files(
         affected_paths,

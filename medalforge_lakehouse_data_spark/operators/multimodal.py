@@ -216,11 +216,40 @@ def audio_features_udf(sample_rate: int = 16000):
     return _features
 
 
+_VERIFY_T = StructType(
+    [
+        StructField("_decodable", BooleanType()),
+        StructField("_phash_check", LongType()),
+    ]
+)
+
+
+@pandas_udf(_VERIFY_T)
+def _verify_bytes(data: pd.Series) -> pd.DataFrame:
+    """Single-decode verification: decodability + recomputed phash in one
+    pass (decoding is the expensive part — never decode twice)."""
+    dec, ph = [], []
+    for b in data:
+        try:
+            px = codec.decode(bytes(b))
+            dec.append(True)
+            ph.append(phash64(px))
+        except Exception:
+            dec.append(False)
+            ph.append(None)
+    return pd.DataFrame({"_decodable": dec, "_phash_check": pd.array(ph, dtype="Int64")})
+
+
 def with_verification(df: DataFrame, bytes_col: str = "bytes") -> DataFrame:
     """Attach decode-verification columns: recomputed phash + decodability.
 
-    One scan, all Arrow-vectorized; used by the post-maintenance
-    verification suite (north_star: pHash verification, PSNR gate)."""
-    return df.withColumn("_phash_check", phash_of_bytes(F.col(bytes_col))).withColumn(
-        "_decodable", decodable(F.col(bytes_col))
+    One scan, one decode per row, all Arrow-vectorized; used by the
+    post-maintenance verification suite (north_star: pHash verification,
+    PSNR gate)."""
+    v = _verify_bytes(F.col(bytes_col))
+    return (
+        df.withColumn("_v", v)
+        .withColumn("_decodable", F.col("_v._decodable"))
+        .withColumn("_phash_check", F.col("_v._phash_check"))
+        .drop("_v")
     )
