@@ -167,6 +167,65 @@ class Table:
     def snapshots(self) -> list[Snapshot]:
         return self.metadata().snapshots
 
+    def snapshot_as_of(self, timestamp_ms: int) -> Snapshot | None:
+        """Time travel: latest snapshot committed at or before the given
+        epoch-ms (Delta's TIMESTAMP AS OF / Iceberg's as-of-timestamp)."""
+        best = None
+        for s in self.metadata().snapshots:
+            if s.timestamp_ms <= timestamp_ms and (
+                best is None or s.timestamp_ms > best.timestamp_ms
+            ):
+                best = s
+        return best
+
+    def history(self) -> list[dict]:
+        """DESCRIBE HISTORY parity: snapshot log with operation summaries."""
+        return [
+            {
+                "snapshot_id": s.snapshot_id,
+                "parent_id": s.parent_id,
+                "timestamp_ms": s.timestamp_ms,
+                "operation": s.operation,
+                "commit_key": s.commit_key,
+                **{k: s.summary.get(k) for k in
+                   ("added_files", "removed_files", "total_rows", "total_files")},
+            }
+            for s in self.metadata().snapshots
+        ]
+
+    def set_properties(self, props: dict[str, str]) -> None:
+        """ALTER TABLE SET TBLPROPERTIES parity (idempotent upsert)."""
+        with CommitLock(self.root):
+            meta = self.metadata()
+            meta.properties.update(props)
+            self._write_metadata_version(meta)
+
+    def set_column_comment(self, column: str, comment: str) -> None:
+        """ALTER COLUMN COMMENT parity (reference: table_manager.py:153-180).
+        Comments live in the schema field metadata."""
+        with CommitLock(self.root):
+            meta = self.metadata()
+            schema = meta.schema
+            if column not in schema.fieldNames():
+                raise KeyError(f"no column {column!r}")
+            from pyspark.sql.types import StructField
+
+            fields = []
+            for f in schema.fields:
+                if f.name == column:
+                    md = dict(f.metadata or {})
+                    md["comment"] = comment
+                    f = StructField(f.name, f.dataType, f.nullable, md)
+                fields.append(f)
+            meta.schema_json = StructType(fields).jsonValue()
+            self._write_metadata_version(meta)
+
+    def _write_metadata_version(self, meta: TableMetadata) -> None:
+        cur_v = int(self._pointer_version().split(".")[0][1:])
+        new_name = f"v{cur_v + 1}.metadata.json"
+        write_json_atomic(os.path.join(self.root, "metadata", new_name), meta.to_json())
+        _swap_pointer(self.root, new_name)
+
     def files(self, snapshot_id: int | None = None) -> list[DataFile]:
         meta = self.metadata()
         snap = (
@@ -212,12 +271,7 @@ class Table:
             meta.snapshots.append(snap)
             meta.current_snapshot_id = sid
             meta.last_sequence = sid
-            cur_v = int(self._pointer_version().split(".")[0][1:])
-            new_name = f"v{cur_v + 1}.metadata.json"
-            write_json_atomic(
-                os.path.join(self.root, "metadata", new_name), meta.to_json()
-            )
-            _swap_pointer(self.root, new_name)
+            self._write_metadata_version(meta)
             return snap
 
     # -- writes -------------------------------------------------------------
@@ -446,6 +500,7 @@ class Table:
         filters: list[Filter] | None = None,
         columns: list[str] | None = None,
         metrics_out: dict | None = None,
+        as_of_timestamp_ms: int | None = None,
     ) -> DataFrame:
         """Snapshot-pinned read: plan → pruned file list → spark.read.parquet
         → residual filter (exact semantics) → optional projection.
@@ -454,6 +509,13 @@ class Table:
         is a pure optimization and can never change results. Column pruning
         and the residual predicates also push into the Parquet scan via
         Catalyst (ReadSchema / PushedFilters)."""
+        if as_of_timestamp_ms is not None:
+            if snapshot_id is not None:
+                raise ValueError("pass snapshot_id OR as_of_timestamp_ms, not both")
+            snap = self.snapshot_as_of(as_of_timestamp_ms)
+            snapshot_id = snap.snapshot_id if snap else None
+            if snap is None:
+                return spark.createDataFrame([], self.schema)
         kept, metrics = self.plan_files(snapshot_id, filters)
         if metrics_out is not None:
             metrics_out.update(metrics)
