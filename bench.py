@@ -75,7 +75,11 @@ def bench_maintenance(spark, timings: dict, extra: dict) -> None:
     with tempfile.TemporaryDirectory() as tmp:
         t = Table.create(os.path.join(tmp, "imgs"), IMAGES_SCHEMA, partition_spec=["fmt"])
         t0 = time.monotonic()
-        t.append(spark, images_df(spark, IMAGE_ROWS, seed=99, partitions=CPUS * 2),
+        # n_bases = rows/4: mostly-unique blobs (realistic bytes; parquet
+        # dictionaries can't dedup them) with a Zipf head for the skew paths
+        t.append(spark,
+                 images_df(spark, IMAGE_ROWS, seed=99, partitions=CPUS * 2,
+                           n_bases=max(64, IMAGE_ROWS // 4)),
                  target_file_count=max(64, CPUS * 4), commit_key="bench-ingest")
         timings["maint_ingest"] = round(time.monotonic() - t0, 3)
         table_bytes = t.metadata().current_snapshot().summary["total_bytes"]
@@ -89,7 +93,7 @@ def bench_maintenance(spark, timings: dict, extra: dict) -> None:
         timings["scan_pre_cluster"] = round(time.monotonic() - t0, 3)
 
         t0 = time.monotonic()
-        cm = compaction.compact(t, spark, target_file_bytes=256 * 1024 * 1024)
+        cm = compaction.compact(t, spark, target_file_bytes=32 * 1024 * 1024)
         dt = time.monotonic() - t0
         timings["maint_compact"] = round(dt, 3)
         extra["compact_gb_per_min"] = round((cm["bytes_in"] / 1e9) / (dt / 60), 3)

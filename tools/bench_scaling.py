@@ -26,7 +26,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-ROWS = int(os.environ.get("SCALING_IMAGE_ROWS", "48000"))
+ROWS = int(os.environ.get("SCALING_IMAGE_ROWS", "24000"))
 ROUNDS = int(os.environ.get("SCALING_ROUNDS", "3"))
 # N vs 4N (task brief allows any N with 4N <= machine cores). The sandbox
 # shares its host: 32 vCPUs exist but sustained effective cores observed are
@@ -57,7 +57,10 @@ def worker(cpus: int) -> dict:
         t0 = time.monotonic()
         t = Table.create(os.path.join(tmp, "imgs"), IMAGES_SCHEMA, partition_spec=["fmt"])
         # fixed input/partitioning regardless of cpus: same job, same plan
-        t.append(spark, images_df(spark, ROWS, seed=77, partitions=64),
+        # unique images (n_bases=ROWS): parquet dictionary encoding cannot
+        # dedup the blobs, so bytes are realistic (~15 KB/row) and GB/min
+        # numbers mean what they say
+        t.append(spark, images_df(spark, ROWS, seed=77, partitions=64, n_bases=ROWS),
                  target_file_count=128)
         t_ingest = time.monotonic() - t0
 
