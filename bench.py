@@ -127,6 +127,16 @@ def bench_maintenance(spark, timings: dict, extra: dict) -> None:
             timings["scan_pre_cluster"] / max(1e-9, timings["scan_post_cluster"]), 2
         )
 
+        # TRANSCODE: bulk lossy re-encode (format migration)
+        t0 = time.monotonic()
+        tm = __import__("medalforge_lakehouse_data_spark.maintenance.transcode",
+                        fromlist=["transcode_rewrite"]).transcode_rewrite(
+            t, spark, target_fmt="lossy", quality=96, target_file_count=max(16, CPUS))
+        dt = time.monotonic() - t0
+        timings["maint_transcode"] = round(dt, 3)
+        extra["transcode_gb_per_min"] = round((tm["bytes_in"] / 1e9) / (dt / 60), 3)
+        extra["transcode_rows_per_s"] = round(tm["rows_per_s"], 1)
+
         # MERGE: update 5% + insert 1%
         upd = images_df(spark, IMAGE_ROWS // 20, seed=99).withColumn(
             "caption", F.concat(F.lit("v2 "), F.col("caption"))

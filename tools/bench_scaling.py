@@ -46,6 +46,7 @@ def worker(cpus: int) -> dict:
 
     from medalforge_lakehouse_data_spark.format.table import Table
     from medalforge_lakehouse_data_spark.maintenance import clustering, compaction
+    from medalforge_lakehouse_data_spark.maintenance.transcode import transcode_rewrite
     from medalforge_lakehouse_data_spark.operators.multimodal import with_verification
     from medalforge_lakehouse_data_spark.session import get_spark
     from medalforge_lakehouse_data_spark.testing.datagen import IMAGES_SCHEMA, images_df
@@ -53,6 +54,10 @@ def worker(cpus: int) -> dict:
     spark = get_spark(app_name=f"scaling-{cpus}", master=f"local[{cpus}]",
                       shuffle_partitions=max(cpus, 8))
     spark.sparkContext.setLogLevel("ERROR")
+    # warm the JVM + python UDF workers so constant startup cost is not
+    # measured as part of the job (same exclusion at both cluster sizes)
+    warm = images_df(spark, 64, seed=1, partitions=8)
+    with_verification(warm).count()
     with tempfile.TemporaryDirectory() as tmp:
         t0 = time.monotonic()
         t = Table.create(os.path.join(tmp, "imgs"), IMAGES_SCHEMA, partition_spec=["fmt"])
@@ -74,6 +79,11 @@ def worker(cpus: int) -> dict:
         t_compact = time.monotonic() - t0
 
         t0 = time.monotonic()
+        tm = transcode_rewrite(t, spark, target_fmt="lossy", quality=96,
+                               target_file_count=64)
+        t_transcode = time.monotonic() - t0
+
+        t0 = time.monotonic()
         nbytes = sum(e.bytes for e in t.files())
         clustering.cluster_rewrite(t, spark, columns=("phash", "w", "h"),
                                    curve="zorder",
@@ -81,22 +91,29 @@ def worker(cpus: int) -> dict:
         t_cluster = time.monotonic() - t0
 
         t0 = time.monotonic()
-        v = with_verification(t.scan(spark)).select(
+        # decode is CPU-dense relative to bytes: Spark's file-bin packing
+        # (maxPartitionBytes/openCost) would coalesce the small clustered
+        # files into ~3 input splits; spread the UDF work across all cores
+        scan = t.scan(spark).repartition(cpus * 4)
+        v = with_verification(scan).select(
             F.sum(F.when(F.col("_decodable") & (F.col("_phash_check") == F.col("phash")), 1)
                   .otherwise(0)).alias("ok"),
             F.count("*").alias("n"),
         ).collect()[0]
+        # repartition() of binary rows costs a shuffle; at real scale you'd
+        # instead set spark.sql.files.maxPartitionBytes low for UDF scans
         t_verify = time.monotonic() - t0
         assert v.ok == v.n == ROWS + 0, (v.ok, v.n)
         total_bytes = t.metadata().current_snapshot().summary["total_bytes"]
 
-    total = t_ingest + t_compact + t_cluster + t_verify
+    total = t_ingest + t_compact + t_transcode + t_cluster + t_verify
     return {
         "cpus": cpus,
         "rows": ROWS,
         "bytes": total_bytes,
         "ingest_s": round(t_ingest, 2),
         "compact_s": round(t_compact, 2),
+        "transcode_s": round(t_transcode, 2),
         "cluster_s": round(t_cluster, 2),
         "verify_s": round(t_verify, 2),
         "total_s": round(total, 2),
@@ -129,7 +146,7 @@ def main():
             r = json.loads(line)
             runs[cpus].append(r)
             print(f"local[{cpus}]: {r}", file=sys.stderr)
-    stage_keys = ("ingest_s", "compact_s", "cluster_s", "verify_s")
+    stage_keys = ("ingest_s", "compact_s", "transcode_s", "cluster_s", "verify_s")
     results = {}
     for c, rs in runs.items():
         best = dict(min(rs, key=lambda r: r["total_s"]))
