@@ -167,6 +167,19 @@ class Table:
     def snapshots(self) -> list[Snapshot]:
         return self.metadata().snapshots
 
+    def create_or_replace_view(
+        self,
+        spark: SparkSession,
+        name: str,
+        snapshot_id: int | None = None,
+        filters: list[Filter] | None = None,
+    ) -> None:
+        """Register this table (optionally a pinned snapshot) as a temp view
+        so arbitrary ``spark.sql`` runs against it — the role
+        ``spark.table(fqn)`` plays for the reference's silver source
+        (reference: silver/application/pipeline.py:29-30)."""
+        self.scan(spark, snapshot_id=snapshot_id, filters=filters).createOrReplaceTempView(name)
+
     def snapshot_as_of(self, timestamp_ms: int) -> Snapshot | None:
         """Time travel: latest snapshot committed at or before the given
         epoch-ms (Delta's TIMESTAMP AS OF / Iceberg's as-of-timestamp)."""
