@@ -184,6 +184,21 @@ def q_avg_over_subquery(spark, sf):
     )
 
 
+def q_rollup_status_priority(spark, sf):
+    """ROLLUP grouping-sets aggregation (subtotals + grand total)."""
+    o = _t(spark, sf, "orders")
+    return (
+        o.rollup("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("n"),
+             F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("total"))
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "n", "total",
+        )
+    )
+
+
 def q_date_rollup_monthly(spark, sf):
     o = _t(spark, sf, "orders")
     return (
@@ -553,6 +568,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distinct_agg": q_distinct_agg,
         "avg_over_subquery": q_avg_over_subquery,
         "date_rollup_monthly": q_date_rollup_monthly,
+        "rollup_status_priority": q_rollup_status_priority,
         "etl_trim": q_etl_trim,
         "etl_cast": q_etl_cast,
         "etl_normalize_dates": q_etl_normalize_dates,
@@ -674,6 +690,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_orderkey, o_totalprice FROM orders
             WHERE o_totalprice > (SELECT avg(cast(o_totalprice as decimal(18,2)))
                                   FROM orders) * 1.5
+        """,
+        "rollup_status_priority": """
+            SELECT coalesce(o_orderstatus, 'ALL') AS status,
+                   coalesce(o_orderpriority, 'ALL') AS priority,
+                   count(*) AS n,
+                   sum(cast(o_totalprice as decimal(18,2))) AS total
+            FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
         """,
         "date_rollup_monthly": """
             SELECT year(o_orderdate) AS ano, month(o_orderdate) AS mes,
