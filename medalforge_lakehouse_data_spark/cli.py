@@ -101,7 +101,7 @@ def cmd_maintenance(args) -> int:
     elif args.job == "expire":
         out = expire.expire_snapshots(
             t, keep_last=args.keep_last, older_than_ms=args.older_than_ms,
-            dry_run=args.dry_run,
+            grace_s=args.grace_s, dry_run=args.dry_run,
         )
     elif args.job == "rewrite-manifests":
         out = manifests.rewrite_manifests(t, job_id=args.job_id)
@@ -140,6 +140,8 @@ def build_parser() -> argparse.ArgumentParser:
     m.add_argument("--keep_last", type=int, default=None)
     m.add_argument("--older_than_ms", type=int, default=None)
     m.add_argument("--dry_run", action="store_true")
+    m.add_argument("--grace_s", type=float, default=3600.0,
+                   help="orphan files younger than this are spared (in-flight writers)")
     m.add_argument("--job_id", default=None)
     m.add_argument("--checkpoint_root", default=None)
     m.set_defaults(fn=cmd_maintenance)

@@ -32,9 +32,14 @@ def expire_snapshots(
     table: Table,
     keep_last: int | None = None,
     older_than_ms: int | None = None,
-    grace_s: float = 0.0,
+    grace_s: float = 3600.0,
     dry_run: bool = False,
 ) -> dict:
+    """grace_s guards a real race: a concurrent writer stages data files
+    BEFORE its commit, and those files are unreachable until the commit
+    lands — a zero-grace sweep would delete them and the commit would
+    then reference missing files. Default one hour; tests that own the
+    table exclusively pass grace_s=0."""
     if keep_last is None and older_than_ms is None:
         keep_last = 1
     with CommitLock(table.root):

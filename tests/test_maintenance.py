@@ -151,7 +151,7 @@ def test_expire_snapshots_gc(spark, img_table):
     files_v1 = {e.path for e in t.files()}
     compaction.compact(t, spark, target_file_bytes=64 * 1024 * 1024)
     fp = _fingerprint(spark, t)
-    res = expire.expire_snapshots(t, keep_last=1)
+    res = expire.expire_snapshots(t, keep_last=1, grace_s=0.0)
     assert res["expired_snapshots"]
     assert res["deleted_data_files"] > 0
     # old files physically gone
@@ -169,7 +169,7 @@ def test_expire_dry_run_deletes_nothing(spark, img_table):
     t = img_table
     compaction.compact(t, spark, target_file_bytes=64 * 1024 * 1024)
     n_files_disk = sum(len(f) for _, _, f in os.walk(os.path.join(t.root, "data")))
-    res = expire.expire_snapshots(t, keep_last=1, dry_run=True)
+    res = expire.expire_snapshots(t, keep_last=1, grace_s=0.0, dry_run=True)
     assert res["deleted_data_files"] > 0
     assert sum(len(f) for _, _, f in os.walk(os.path.join(t.root, "data"))) == n_files_disk
     assert len(t.snapshots()) > 1  # history retained on dry run
