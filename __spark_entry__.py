@@ -12,6 +12,15 @@ Alignment rules honored throughout: every computed column is aliased
 identically in Spark and SQL; double aggregations go through
 decimal(18,2|4) casts so both engines sum exactly; ratio columns are
 rounded to 4 decimals on both sides.
+
+Output-schema rule (round-2 driver-gate fix): NO decimal column ever
+reaches a query's final select. Decimal sums are exact internally, but
+the driver's value hasher stringifies Decimal('412093.00') differently
+from DuckDB's float 412093.0, failing hash_match on representation
+alone (VERDICT.md round 1: 9 such queries, all value-identical). Every
+final decimal aggregate is therefore cast to double with an explicit
+round(x, 2|4) on BOTH the Spark and DuckDB sides — the exact pattern
+the already-passing ratio columns used.
 """
 
 from __future__ import annotations
@@ -29,6 +38,15 @@ SF_DEFAULT = "/root/testdata/sf0.001"
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def _dbl(name: str, scale: int):
+    """Final-select cast: exact decimal aggregate → rounded double.
+
+    Keeps the sum exact (decimal) through the aggregation, then emits a
+    double so the driver's hasher sees the same representation Spark-
+    and DuckDB-side (see module docstring, round-2 gate fix)."""
+    return F.round(F.col(name).cast("double"), scale).alias(name)
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -55,6 +73,9 @@ def q_pricing_summary(spark, sf):
             ).alias("sum_disc_price"),
             F.count("*").alias("count_order"),
         )
+        .select("l_returnflag", "l_linestatus", _dbl("sum_qty", 2),
+                _dbl("sum_base_price", 2), _dbl("sum_disc_price", 4),
+                "count_order")
         .orderBy("l_returnflag", "l_linestatus")
     )
 
@@ -74,6 +95,7 @@ def q_shipping_priority(spark, sf):
         .agg(F.sum(rev).alias("revenue"))
         .orderBy(F.desc("revenue"), "l_orderkey")
         .limit(10)
+        .select("l_orderkey", "o_orderdate", _dbl("revenue", 4))
     )
 
 
@@ -93,6 +115,7 @@ def q_local_suppliers(spark, sf):
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("n_name")
         .agg(F.sum(rev).alias("revenue"), F.count("*").alias("n_items"))
+        .select("n_name", _dbl("revenue", 4), "n_items")
         .orderBy("n_name")
     )
 
@@ -118,6 +141,7 @@ def q_events_by_type(spark, sf):
             F.sum(F.col("value").cast("decimal(18,4)")).alias("sum_value"),
             F.countDistinct("user_id").alias("n_users"),
         )
+        .select("event_type", "n", _dbl("sum_value", 4), "n_users")
         .orderBy("event_type")
     )
 
@@ -136,7 +160,7 @@ def q_forecast_revenue(spark, sf):
              * F.col("l_discount").cast("decimal(18,2)")).cast("decimal(18,4)")
         ).alias("revenue"),
         F.count("*").alias("n"),
-    )
+    ).select(_dbl("revenue", 4), "n")
 
 
 def q_semi_join_customers_with_orders(spark, sf):
@@ -161,6 +185,7 @@ def q_having_big_orders(spark, sf):
         li.groupBy("l_orderkey")
         .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("total_qty"))
         .filter(F.col("total_qty") > 150)
+        .select("l_orderkey", _dbl("total_qty", 2))
     )
 
 
@@ -194,7 +219,7 @@ def q_rollup_status_priority(spark, sf):
         .select(
             F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
             F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
-            "n", "total",
+            "n", _dbl("total", 2),
         )
     )
 
@@ -207,6 +232,7 @@ def q_date_rollup_monthly(spark, sf):
         )
         .agg(F.count("*").alias("n_orders"),
              F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("total"))
+        .select("ano", "mes", "n_orders", _dbl("total", 2))
         .orderBy("ano", "mes")
     )
 
@@ -359,7 +385,7 @@ def _merge_fixture(spark, sf, when_matched, when_not_matched):
         t.append(spark, target_df, target_file_count=8, sort_within=["o_orderkey"])
         merge_into(t, source_df, ["o_orderkey"], spark,
                    when_matched=when_matched, when_not_matched=when_not_matched)
-        out = t.scan(spark)
+        out = t.scan(spark).select("o_orderkey", "o_custkey", _dbl("price", 2))
         out = spark.createDataFrame(out.collect(), out.schema)  # materialize before tmp cleanup
     return out
 
@@ -611,11 +637,11 @@ def oracle_sql() -> dict[str, str]:
     return {
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,
-                   sum(cast(l_quantity as decimal(18,2))) AS sum_qty,
-                   sum(cast(l_extendedprice as decimal(18,2))) AS sum_base_price,
-                   sum(cast(cast(l_extendedprice as decimal(18,2))
+                   round(cast(sum(cast(l_quantity as decimal(18,2))) as double), 2) AS sum_qty,
+                   round(cast(sum(cast(l_extendedprice as decimal(18,2))) as double), 2) AS sum_base_price,
+                   round(cast(sum(cast(cast(l_extendedprice as decimal(18,2))
                        * (cast(1 as decimal(18,2)) - cast(l_discount as decimal(18,2)))
-                       as decimal(18,4))) AS sum_disc_price,
+                       as decimal(18,4))) as double), 4) AS sum_disc_price,
                    count(*) AS count_order
             FROM lineitem
             WHERE l_shipdate <= timestamp '1998-09-02'
@@ -623,20 +649,23 @@ def oracle_sql() -> dict[str, str]:
         """,
         "shipping_priority": """
             SELECT l_orderkey, o_orderdate,
-                   sum(cast(cast(l_extendedprice as decimal(18,2))
-                       * (cast(1 as decimal(18,2)) - cast(l_discount as decimal(18,2)))
-                       as decimal(18,4))) AS revenue
-            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-            JOIN customer ON o_custkey = c_custkey
-            WHERE c_mktsegment = 'BUILDING'
-            GROUP BY l_orderkey, o_orderdate
-            ORDER BY revenue DESC, l_orderkey LIMIT 10
+                   round(cast(revenue as double), 4) AS revenue
+            FROM (
+              SELECT l_orderkey, o_orderdate,
+                     sum(cast(cast(l_extendedprice as decimal(18,2))
+                         * (cast(1 as decimal(18,2)) - cast(l_discount as decimal(18,2)))
+                         as decimal(18,4))) AS revenue
+              FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+              JOIN customer ON o_custkey = c_custkey
+              WHERE c_mktsegment = 'BUILDING'
+              GROUP BY l_orderkey, o_orderdate
+              ORDER BY revenue DESC, l_orderkey LIMIT 10)
         """,
         "local_suppliers": """
             SELECT n_name,
-                   sum(cast(cast(l_extendedprice as decimal(18,2))
+                   round(cast(sum(cast(cast(l_extendedprice as decimal(18,2))
                        * (cast(1 as decimal(18,2)) - cast(l_discount as decimal(18,2)))
-                       as decimal(18,4))) AS revenue,
+                       as decimal(18,4))) as double), 4) AS revenue,
                    count(*) AS n_items
             FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
             JOIN nation ON s_nationkey = n_nationkey
@@ -653,13 +682,13 @@ def oracle_sql() -> dict[str, str]:
         """,
         "events_by_type": """
             SELECT event_type, count(*) AS n,
-                   sum(cast(value as decimal(18,4))) AS sum_value,
+                   round(cast(sum(cast(value as decimal(18,4))) as double), 4) AS sum_value,
                    count(distinct user_id) AS n_users
             FROM events GROUP BY event_type
         """,
         "forecast_revenue": """
-            SELECT sum(cast(cast(l_extendedprice as decimal(18,2))
-                       * cast(l_discount as decimal(18,2)) as decimal(18,4))) AS revenue,
+            SELECT round(cast(sum(cast(cast(l_extendedprice as decimal(18,2))
+                       * cast(l_discount as decimal(18,2)) as decimal(18,4))) as double), 4) AS revenue,
                    count(*) AS n
             FROM lineitem
             WHERE l_shipdate >= timestamp '1995-01-01'
@@ -677,7 +706,8 @@ def oracle_sql() -> dict[str, str]:
                                     WHERE o_orderstatus = 'F')
         """,
         "having_big_orders": """
-            SELECT l_orderkey, sum(cast(l_quantity as decimal(18,2))) AS total_qty
+            SELECT l_orderkey,
+                   round(cast(sum(cast(l_quantity as decimal(18,2))) as double), 2) AS total_qty
             FROM lineitem GROUP BY l_orderkey
             HAVING sum(cast(l_quantity as decimal(18,2))) > 150
         """,
@@ -695,13 +725,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT coalesce(o_orderstatus, 'ALL') AS status,
                    coalesce(o_orderpriority, 'ALL') AS priority,
                    count(*) AS n,
-                   sum(cast(o_totalprice as decimal(18,2))) AS total
+                   round(cast(sum(cast(o_totalprice as decimal(18,2))) as double), 2) AS total
             FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
         """,
         "date_rollup_monthly": """
             SELECT year(o_orderdate) AS ano, month(o_orderdate) AS mes,
                    count(*) AS n_orders,
-                   sum(cast(o_totalprice as decimal(18,2))) AS total
+                   round(cast(sum(cast(o_totalprice as decimal(18,2))) as double), 2) AS total
             FROM orders GROUP BY 1, 2
         """,
         "etl_trim": """
@@ -767,10 +797,13 @@ def oracle_sql() -> dict[str, str]:
               SELECT o_orderkey, o_custkey,
                      cast(cast(o_totalprice as decimal(18,2))
                           + cast(1 as decimal(18,2)) as decimal(18,2)) AS price
-              FROM orders WHERE o_orderkey % 3 = 0)
-            SELECT * FROM source
-            UNION ALL
-            SELECT t.* FROM target t ANTI JOIN source s ON t.o_orderkey = s.o_orderkey
+              FROM orders WHERE o_orderkey % 3 = 0),
+            merged AS (
+              SELECT * FROM source
+              UNION ALL
+              SELECT t.* FROM target t ANTI JOIN source s ON t.o_orderkey = s.o_orderkey)
+            SELECT o_orderkey, o_custkey, round(cast(price as double), 2) AS price
+            FROM merged
         """,
         "merge_delete": """
             WITH target AS (
@@ -778,7 +811,8 @@ def oracle_sql() -> dict[str, str]:
                      cast(o_totalprice as decimal(18,2)) AS price
               FROM orders WHERE o_orderkey % 2 = 0),
             source AS (SELECT o_orderkey FROM orders WHERE o_orderkey % 3 = 0)
-            SELECT t.* FROM target t ANTI JOIN source s ON t.o_orderkey = s.o_orderkey
+            SELECT t.o_orderkey, t.o_custkey, round(cast(t.price as double), 2) AS price
+            FROM target t ANTI JOIN source s ON t.o_orderkey = s.o_orderkey
         """,
         "docs_token_stats": r"""
             WITH t AS (

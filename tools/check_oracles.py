@@ -28,7 +28,9 @@ def norm_cell(v):
     if isinstance(v, bool):
         return str(v).lower()
     if isinstance(v, decimal.Decimal):
-        return f"{v:f}"
+        # Mirror the driver's hasher, which normalizes through float:
+        # Decimal('412093.00') must hash like 412093.0 (round-1 lesson).
+        return f"{float(v):.10g}"
     if isinstance(v, float):
         return f"{v:.10g}"
     if isinstance(v, datetime.datetime):
@@ -68,6 +70,15 @@ def main():
             continue
         try:
             sdf = fn(spark, sf_dir)
+            dec_cols = [f.name for f in sdf.schema.fields
+                        if f.dataType.typeName().startswith("decimal")]
+            if dec_cols and name in oracles:
+                # Output-schema rule: decimal must never reach a final
+                # select (driver hasher stringifies it differently from
+                # DuckDB floats). Hard-fail locally before the driver does.
+                failures.append(name)
+                print(f"FAIL  {name}: decimal output columns {dec_cols}")
+                continue
             srows = sdf.collect()
             scols = sdf.columns
             sn, sh = table_hash(scols, [tuple(r) for r in srows])
