@@ -486,42 +486,79 @@ def q_ann_ivf_topk(spark, sf):
     return out.select("query_id", "vec_id", "rank")
 
 
-def q_docs_minhash_near_dup(spark, sf):
-    """MinHash-LSH near-dup (rows-only: signature hashing is engine-
-    internal). Planted +1-word copies of 10 docs must be found."""
-    from medalforge_lakehouse_data_spark.operators.dedup import minhash_near_dup_pairs
-
+def _planted_corpus(spark, sf):
+    """documents ∪ near-dup copies of docs 0-9 (text + ' tail')."""
     d = _t(spark, sf, "documents").select("doc_id", "text")
     planted = d.filter(F.col("doc_id") < 10).select(
         (F.col("doc_id") + 1_000_000).alias("doc_id"),
         F.concat(F.col("text"), F.lit(" tail")).alias("text"),
     )
-    corpus = d.unionByName(planted)
-    pairs = minhash_near_dup_pairs(corpus, "doc_id", "text", threshold=0.5)
-    return pairs.select("id_a", "id_b")
+    return d.unionByName(planted)
+
+
+def q_docs_minhash_near_dup(spark, sf):
+    """MinHash-LSH candidates → exact shingle-Jaccard verify ≥ 0.8.
+
+    The verified output equals DuckDB's brute-force all-pairs Jaccard
+    at this threshold: 32 bands × 2 rows, so a pair with true j ≥ 0.8
+    misses the candidate set with prob (1-0.8²)^32 ≈ 6e-15 — and the
+    est_jaccard pre-filter (0.35) sits > 9σ below j=0.8 with 64 hashes.
+    This makes the LSH path a full driver-oracle row instead of the
+    round-1 rows-only check."""
+    from medalforge_lakehouse_data_spark.operators.dedup import (
+        minhash_near_dup_pairs,
+        shingle_jaccard_verify,
+    )
+
+    corpus = _planted_corpus(spark, sf)
+    cand = minhash_near_dup_pairs(
+        corpus, "doc_id", "text", num_hashes=64, bands=32, threshold=0.35
+    )
+    ver = shingle_jaccard_verify(cand, corpus, "doc_id", "text", shingle_k=5)
+    return ver.filter(F.col("jaccard") >= 0.8).select(
+        "id_a", "id_b", F.round("jaccard", 4).alias("jaccard")
+    )
 
 
 def q_docs_simhash(spark, sf):
-    """SimHash near-dup (rows-only)."""
-    from medalforge_lakehouse_data_spark.operators.dedup import simhash_near_dup_pairs
-
-    d = _t(spark, sf, "documents").select("doc_id", "text")
-    planted = d.filter(F.col("doc_id") < 10).select(
-        (F.col("doc_id") + 1_000_000).alias("doc_id"),
-        F.concat(F.col("text"), F.lit(" tail")).alias("text"),
+    """SimHash candidates (Hamming ≤ 7, pigeonhole-banded → full recall
+    at that distance) → exact shingle-Jaccard verify ≥ 0.8. Same oracle
+    as the MinHash path: two independent candidate generators must both
+    reproduce DuckDB's brute-force answer."""
+    from medalforge_lakehouse_data_spark.operators.dedup import (
+        shingle_jaccard_verify,
+        simhash_near_dup_pairs,
     )
-    corpus = d.unionByName(planted)
-    return simhash_near_dup_pairs(corpus, "doc_id", "text", max_hamming=7).select(
-        "id_a", "id_b", "hamming"
+
+    corpus = _planted_corpus(spark, sf)
+    cand = simhash_near_dup_pairs(corpus, "doc_id", "text", max_hamming=7)
+    ver = shingle_jaccard_verify(cand, corpus, "doc_id", "text", shingle_k=5)
+    return ver.filter(F.col("jaccard") >= 0.8).select(
+        "id_a", "id_b", F.round("jaccard", 4).alias("jaccard")
     )
 
 
 def q_docs_fingerprint(spark, sf):
-    """Document fingerprint dedup-key stats (rows-only: xxhash64-based)."""
+    """Content-fingerprint exact-dup pairs: reformatted copies (upper-
+    cased, whitespace-mangled) of docs 0-9 must collide with their
+    originals and nothing else. Oracle: normalized-text-equality pairs."""
     from medalforge_lakehouse_data_spark.functions.text import fingerprint
 
-    d = _t(spark, sf, "documents")
-    return d.select("doc_id", fingerprint("text").alias("fp"))
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    mangled = d.filter(F.col("doc_id") < 10).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat(
+            F.lit("  "), F.regexp_replace(F.upper(F.col("text")), " ", "   "), F.lit(" ")
+        ).alias("text"),
+    )
+    corpus = d.unionByName(mangled)
+    fp = corpus.select("doc_id", fingerprint("text").alias("fp"))
+    return (
+        fp.alias("a")
+        .join(fp.alias("b"), "fp")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+    )
 
 
 def q_docs_quality(spark, sf):
@@ -622,6 +659,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "maintenance_roundtrip": q_maintenance_roundtrip,
         "images_verification": q_images_verification,
     }
+
+
+# Ground truth for both LSH near-dup paths: brute-force all-pairs exact
+# 5-word-shingle Jaccard >= 0.8 over documents ∪ planted ' tail' copies.
+_SHINGLE_JACCARD_ORACLE = r"""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, text || ' tail' AS text
+      FROM documents WHERE doc_id < 10),
+    w AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+          FROM corpus),
+    g AS (SELECT doc_id,
+                 list_distinct(CASE WHEN len(w) >= 5 THEN
+                   list_transform(generate_series(1, len(w)-4),
+                                  i -> array_to_string(w[i:i+4], ' '))
+                   ELSE [array_to_string(w, ' ')] END) AS grams
+          FROM w),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             len(list_intersect(a.grams, b.grams)) AS common,
+             len(a.grams) AS sa, len(b.grams) AS sb
+      FROM g a, g b WHERE a.doc_id < b.doc_id)
+    SELECT id_a, id_b, round(common / (sa + sb - common), 4) AS jaccard
+    FROM pairs WHERE common / (sa + sb - common) >= 0.8
+"""
 
 
 _STOPWORD_VALUES = """(values
@@ -928,7 +991,25 @@ def oracle_sql() -> dict[str, str]:
                                         ORDER BY c DESC, vec_id) AS rank
               FROM scored) WHERE rank <= 10
         """,
-        # rows-only (engine-internal hashing / table format / codec):
-        # docs_minhash_near_dup, docs_simhash, docs_fingerprint,
+        # LSH paths: verified exact shingle-Jaccard output == DuckDB
+        # brute-force all-pairs at the same threshold (recall argument
+        # in the query docstrings). Both candidate generators share one
+        # ground-truth oracle.
+        "docs_minhash_near_dup": _SHINGLE_JACCARD_ORACLE,
+        "docs_simhash": _SHINGLE_JACCARD_ORACLE,
+        "docs_fingerprint": r"""
+            WITH corpus AS (
+              SELECT doc_id,
+                     regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm
+              FROM documents
+              UNION ALL
+              SELECT doc_id + 1000000 AS doc_id,
+                     regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm
+              FROM documents WHERE doc_id < 10)
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM corpus a JOIN corpus b
+              ON a.norm = b.norm AND a.doc_id < b.doc_id
+        """,
+        # rows-only (engine-internal table format / codec):
         # maintenance_roundtrip, images_verification
     }

@@ -101,12 +101,31 @@ def quality_score(col: Column | str) -> Column:
     return (len_ok * 0.3 + word_ok * 0.2 + punct_ok * 0.2 + stop_ok * 0.3).cast("double")
 
 
-def fingerprint(col: Column | str, shingle_k: int = 5) -> Column:
-    """64-bit document fingerprint: xxhash64 of the min-hashed k-shingle
-    set (rolling-hash style, order-insensitive, whitespace-normalized) —
-    stable under reformatting, cheap exact-dup key."""
+def _normalized(col: Column) -> Column:
+    """Canonical text form: lowercased, whitespace runs collapsed to one
+    space, trimmed — the equivalence class fingerprints key on."""
+    return F.regexp_replace(F.lower(F.trim(col)), r"\s+", " ")
+
+
+def fingerprint(col: Column | str) -> Column:
+    """64-bit document fingerprint: xxhash64 of the normalized text —
+    an exact-dup key stable under whitespace/case reformatting. Equal
+    fingerprints ⇔ equal normalized content (up to 2^-64 collisions).
+
+    Round-2 change: round 1 keyed on the min shingle hash (a 1-perm
+    MinHash), which collides for merely-similar docs with probability ≈
+    their Jaccard — wrong for an exact-dup key. That behavior lives on
+    as min_shingle_fingerprint for near-dup bucketing."""
     c = F.col(col) if isinstance(col, str) else col
-    norm = F.regexp_replace(F.lower(F.trim(c)), r"\s+", " ")
+    return F.xxhash64(_normalized(c))
+
+
+def min_shingle_fingerprint(col: Column | str, shingle_k: int = 5) -> Column:
+    """1-permutation MinHash: min xxhash64 over the k-word shingle set of
+    the normalized text. Collision probability between two docs ≈ their
+    shingle Jaccard — a cheap near-dup bucketing key, NOT an exact key."""
+    c = F.col(col) if isinstance(col, str) else col
+    norm = _normalized(c)
     words = F.split(norm, " ")
     n = F.array_size(words)
     shingles = F.when(
