@@ -264,7 +264,7 @@ class Table:
         """Single-writer commit: under the lock, re-read metadata, build the
         new snapshot's manifest list, write v<N+1>, atomically swap pointer.
         If ``commit_key`` was already committed, return that snapshot."""
-        with CommitLock(self.root):
+        with CommitLock(self.root) as lock:
             meta = self.metadata()
             if commit_key is not None:
                 prior = meta.find_commit(commit_key)
@@ -272,6 +272,7 @@ class Table:
                     return prior
             sid = meta.last_sequence + 1
             manifest_list, summary = build(meta, sid)
+            lock.refresh()  # build() may read/write many manifests
             snap = Snapshot(
                 snapshot_id=sid,
                 parent_id=meta.current_snapshot_id,

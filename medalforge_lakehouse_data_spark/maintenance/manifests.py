@@ -10,7 +10,7 @@ from __future__ import annotations
 
 import time
 
-from medalforge_lakehouse_data_spark.format.metadata import write_manifest
+from medalforge_lakehouse_data_spark.format.metadata import read_manifest, write_manifest
 from medalforge_lakehouse_data_spark.format.table import Table
 
 
@@ -21,25 +21,32 @@ def rewrite_manifests(
 ) -> dict:
     t0 = time.monotonic()
     job_id = job_id or f"manifests-{int(time.time())}"
-    meta = table.metadata()
-    snap = meta.current_snapshot()
-    if snap is None:
+    if table.metadata().current_snapshot() is None:
         return {"job_id": job_id, "manifests_in": 0, "manifests_out": 0}
-    entries = table.files()
-    # group by partition tuple; keep groups contiguous so each output
-    # manifest covers few partitions (→ manifest-level pruning later)
-    entries.sort(key=lambda e: (tuple(sorted(e.partition.items())), e.path))
-    chunks = [
-        entries[i : i + target_entries_per_manifest]
-        for i in range(0, len(entries), target_entries_per_manifest)
-    ] or []
-    new_manifests = [write_manifest(table.root, c) for c in chunks]
+    # All reads happen inside build(), i.e. UNDER the commit lock: a commit
+    # landing between a pre-lock read and the pointer swap would otherwise
+    # be silently dropped from the rewritten manifest list (round-1 ADVICE
+    # high: its added files lost, its removed files resurrected).
+    stats = {}
 
     def build(meta, sid):
         parent = meta.current_snapshot()
-        summary = dict(parent.summary) if parent else {}
+        entries = []
+        for m in parent.manifest_list:
+            entries.extend(read_manifest(table.root, m))
+        # group by partition tuple; keep groups contiguous so each output
+        # manifest covers few partitions (→ manifest-level pruning later)
+        entries.sort(key=lambda e: (tuple(sorted(e.partition.items())), e.path))
+        chunks = [
+            entries[i : i + target_entries_per_manifest]
+            for i in range(0, len(entries), target_entries_per_manifest)
+        ] or []
+        new_manifests = [write_manifest(table.root, c) for c in chunks]
+        stats.update(manifests_in=len(parent.manifest_list),
+                     manifests_out=len(new_manifests), entries=len(entries))
+        summary = dict(parent.summary)
         summary.update(
-            {"job_id": job_id, "manifests_in": len(snap.manifest_list),
+            {"job_id": job_id, "manifests_in": len(parent.manifest_list),
              "manifests_out": len(new_manifests),
              "added_files": 0, "removed_files": 0,
              "added_rows": 0, "removed_rows": 0}
@@ -50,8 +57,8 @@ def rewrite_manifests(
     return {
         "job_id": job_id,
         "snapshot_id": new_snap.snapshot_id,
-        "manifests_in": len(snap.manifest_list),
-        "manifests_out": len(new_manifests),
-        "entries": len(entries),
+        "manifests_in": stats.get("manifests_in", 0),
+        "manifests_out": stats.get("manifests_out", 0),
+        "entries": stats.get("entries", 0),
         "seconds": time.monotonic() - t0,
     }

@@ -135,14 +135,43 @@ def train_ivf_centroids(
     vectors: DataFrame, vec_col: str, nlist: int, sample_rows: int = 20_000,
     seed: int = 42,
 ) -> np.ndarray:
-    pdf = (
-        vectors.select(vec_col)
-        .sample(fraction=1.0, seed=seed)
-        .limit(sample_rows)
-        .toPandas()
-    )
+    """Uniform random sample → driver-side k-means.
+
+    Round-1 fix: the old ``.sample(fraction=1.0).limit(n)`` was a no-op
+    sample followed by a first-partitions-only limit — at scale the
+    centroids trained on one shard. Now: seeded Bernoulli sample at
+    fraction ~ oversampled n/N (every partition contributes), then trim.
+    The count is a cheap columnar scan and keeps sampling one data pass."""
+    n = vectors.count()
+    if n == 0:
+        raise ValueError("train_ivf_centroids: empty corpus")
+    frac = min(1.0, 1.3 * sample_rows / n)  # oversample: Bernoulli variance
+    sampled = vectors.select(vec_col)
+    if frac < 1.0:
+        sampled = sampled.sample(fraction=frac, seed=seed)
+    pdf = sampled.toPandas()  # no .limit(): limit re-biases to first partitions
     sample = np.stack(pdf[vec_col].to_numpy())
+    if len(sample) > sample_rows:  # trim driver-side, uniformly
+        idx = np.random.default_rng(seed).choice(len(sample), sample_rows, replace=False)
+        sample = sample[idx]
     return _kmeans_lite(sample, nlist, seed=seed)
+
+
+def centroids_to_property(centroids: np.ndarray) -> str:
+    """Serialize trained centroids for persistence in table properties
+    (so ANN probes skip re-training): base64 of float64 bytes + shape."""
+    import base64
+
+    c = np.ascontiguousarray(centroids, dtype=np.float64)
+    return f"{c.shape[0]}x{c.shape[1]}:" + base64.b64encode(c.tobytes()).decode("ascii")
+
+
+def centroids_from_property(prop: str) -> np.ndarray:
+    import base64
+
+    shape_s, payload = prop.split(":", 1)
+    rows, cols = (int(x) for x in shape_s.split("x"))
+    return np.frombuffer(base64.b64decode(payload), dtype=np.float64).reshape(rows, cols)
 
 
 def ivf_topk(

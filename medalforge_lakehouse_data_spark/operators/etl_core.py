@@ -104,6 +104,23 @@ def normalize_dates(
     return df
 
 
+def _agg_order_direction(spec: str, df: DataFrame) -> str | None:
+    """'asc'/'desc' when the order_by entry has a window-equivalent
+    min_by/max_by translation: a plain column with the DEFAULT null
+    placement (asc⇒nulls first, desc⇒nulls last). Anything else —
+    expressions, or a non-default nulls qualifier — returns None and
+    the caller falls back to the window strategy."""
+    parts = spec.split()
+    if not parts or parts[0] not in df.columns:
+        return None
+    tail = [p.lower() for p in parts[1:]]
+    if tail in ([], ["asc"], ["asc", "nulls", "first"]):
+        return "asc"
+    if tail in (["desc"], ["desc", "nulls", "last"]):
+        return "desc"
+    return None
+
+
 def deduplicate(
     df: DataFrame,
     keys: list[str],
@@ -117,26 +134,35 @@ def deduplicate(
     error; with missing="skip" absent keys are dropped (all absent ⇒
     global window — observed reference behavior, test_core.py:175-184).
 
-    strategy="agg": same semantics via groupBy+min_by(struct(order_key,
-    row)) — partial aggregation instead of full per-key sort; use when
-    keys are high-cardinality at scale. Only supported for single-column
-    ascending/descending order_by.
+    strategy="agg": same semantics via groupBy + min_by/max_by — partial
+    aggregation instead of a full per-key sort; use when keys are high-
+    cardinality at scale. Supported for a single plain-column order_by
+    with the default null placement ('col', 'col asc[ nulls first]',
+    'col desc[ nulls last]'); other forms fall back to the window
+    strategy. Null safety (round-1 ADVICE fix): min_by/max_by skip NULL
+    ordering values, so the ordering key is the never-null struct
+    (is_not_null(col), col) — NULL rows sort first under asc / last
+    under desc exactly like the window, and an all-null group returns a
+    real row instead of an all-NULL one.
     """
     if not order_by:
         raise ValueError("deduplicate: order_by must not be empty")
     keys_present = _ensure_columns(df, keys, missing, "deduplicate")
     order_exprs = [_order_expr(o) for o in order_by]
-    if strategy == "agg" and len(order_by) == 1:
-        parts = order_by[0].split()
-        ocol, desc = parts[0], len(parts) > 1 and parts[1].lower() == "desc"
-        agg_fn = F.max_by if desc else F.min_by
+    direction = _agg_order_direction(order_by[0], df) if len(order_by) == 1 else None
+    if strategy == "agg" and direction is not None:
+        ocol = order_by[0].split()[0]
+        agg_fn = F.max_by if direction == "desc" else F.min_by
+        okey = F.struct(
+            F.col(ocol).isNotNull().alias("__h"), F.col(ocol).alias("__v")
+        )
         row = F.struct(*[F.col(c) for c in df.columns])
         grouped = (
             df.groupBy(*[F.col(k) for k in keys_present])
             if keys_present
             else df.groupBy(F.lit(1).alias("__g"))
         )
-        out = grouped.agg(agg_fn(row, F.col(ocol)).alias("__r"))
+        out = grouped.agg(agg_fn(row, okey).alias("__r"))
         return out.select(*[F.col(f"__r.{c}").alias(c) for c in df.columns])
     w = (
         Window.partitionBy(*[F.col(k) for k in keys_present])

@@ -50,11 +50,19 @@ class IngestResult:
 
 class FileLedger:
     """Processed-file set (the role of Auto Loader's RocksDB checkpoint).
-    Isolated per reprocess_label like the reference's checkpoint dirs."""
+    Isolated per reprocess_label like the reference's checkpoint dirs.
+
+    ``pending``/``set_pending`` is a write-ahead intent record: the batch
+    file set + its commit key are persisted BEFORE the table append, so a
+    crash between append and ledger update replays exactly the same file
+    set under exactly the same commit key — even if NEW files arrived in
+    the meantime. (Round-1 ADVICE: hashing the whole current backlog made
+    the replayed key diverge once the backlog changed → duplicate rows.)"""
 
     def __init__(self, checkpoint_dir: str, reprocess_label: str | None = None):
         suffix = f"_{reprocess_label}" if reprocess_label else ""
         self.path = os.path.join(checkpoint_dir, f"processed{suffix}.json")
+        self.pending_path = os.path.join(checkpoint_dir, f"pending{suffix}.json")
         os.makedirs(checkpoint_dir, exist_ok=True)
 
     def processed(self) -> set[str]:
@@ -69,6 +77,26 @@ class FileLedger:
         with open(tmp, "w") as f:
             json.dump(merged, f)
         os.replace(tmp, self.path)
+
+    def pending(self) -> tuple[str, list[str]] | None:
+        """(batch_key, files) of an in-flight batch, or None."""
+        if not os.path.exists(self.pending_path):
+            return None
+        with open(self.pending_path) as f:
+            d = json.load(f)
+        return d["key"], list(d["files"])
+
+    def set_pending(self, batch_key: str, files: list[str]) -> None:
+        tmp = f"{self.pending_path}.tmp.{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            json.dump({"key": batch_key, "files": sorted(files)}, f)
+        os.replace(tmp, self.pending_path)
+
+    def clear_pending(self) -> None:
+        try:
+            os.unlink(self.pending_path)
+        except FileNotFoundError:
+            pass
 
 
 def _reader(spark: SparkSession, fmt: str, schema: StructType, options: dict):
@@ -113,50 +141,74 @@ def ingest_batch(
 ) -> IngestResult:
     """availableNow-equivalent: drain the current backlog once.
 
-    New files = listing minus ledger; commit_key is the content hash of
-    the batch file set, so a crash between append and ledger update
-    resumes without duplicate rows."""
+    Exactly-once resume: the batch file set + commit key are persisted as
+    a pending record before the append, so re-runs after any crash replay
+    that exact batch (idempotent via commit_key) before taking on newly
+    arrived files as a separate batch."""
     if fmt not in SUPPORTED_FORMATS:
         raise ValueError(f"unsupported format {fmt!r}")
     ledger = FileLedger(checkpoint_dir, reprocess_label)
     done = ledger.processed()
     all_files = list_source_files(source_dir, fmt)
-    if not include_existing and not done:
+    if not include_existing and not done and ledger.pending() is None:
         # reference: includeExistingFiles=false skips the pre-existing
         # backlog on first run (ingestor_interfaces.py:237-240)
         ledger.add(all_files)
         return IngestResult(0, 0, 0, table.current_snapshot_id(), skipped=True)
-    new_files = [f for f in all_files if f not in done]
-    if not new_files:
-        return IngestResult(0, 0, 0, table.current_snapshot_id(), skipped=True)
 
-    # cache before touching _corrupt_record: Spark forbids predicates on
-    # the corrupt-record column over raw files (QUERY_ONLY_CORRUPT_RECORD)
-    df = _reader(spark, fmt, schema, reader_options or {}).load(new_files).cache()
-    good = df.filter(F.col(_CORRUPT).isNull()).drop(_CORRUPT)
-    bad = df.filter(F.col(_CORRUPT).isNotNull())
-    good = add_audit_columns(good)
+    batches: list[tuple[str, list[str]]] = []
+    pend = ledger.pending()
+    pend_set: set[str] = set()
+    if pend is not None:
+        pend_key, pend_files = pend
+        pend_set = set(pend_files)
+        if pend_set <= done:
+            # append + ledger.add both landed; only the clear was lost
+            ledger.clear_pending()
+        else:
+            # replay under the ORIGINAL key even if some source files
+            # vanished since — the key must match the possibly-committed
+            # append to dedupe it
+            batches.append((pend_key, [f for f in pend_files if os.path.exists(f)]))
 
     import hashlib
 
-    batch_key = hashlib.sha256("\n".join(new_files).encode()).hexdigest()[:16]
-    n_bad = 0
-    if bad_records_table is not None:
-        bad_rows = bad.select(
-            F.input_file_name().alias("source_file"),
-            F.col(_CORRUPT).alias("record"),
-            F.current_timestamp().alias("captured_ts"),
+    fresh = [f for f in all_files if f not in done and f not in pend_set]
+    if fresh:
+        batches.append(
+            (hashlib.sha256("\n".join(fresh).encode()).hexdigest()[:16], fresh)
         )
-        n_bad = bad_rows.count()
-        if n_bad:
-            bad_records_table.append(spark, bad_rows, commit_key=f"bad-{batch_key}")
-    else:
-        n_bad = bad.count()
+    if not batches:
+        return IngestResult(0, 0, 0, table.current_snapshot_id(), skipped=True)
 
-    snap = table.append(spark, good, commit_key=f"ingest-{batch_key}")
-    ledger.add(new_files)
-    rows = snap.summary.get("added_rows", 0)
-    return IngestResult(len(new_files), rows, n_bad, snap.snapshot_id)
+    n_files = n_rows = n_bad = 0
+    snap = None
+    for batch_key, files in batches:
+        ledger.set_pending(batch_key, files)
+        # cache before touching _corrupt_record: Spark forbids predicates on
+        # the corrupt-record column over raw files (QUERY_ONLY_CORRUPT_RECORD)
+        df = _reader(spark, fmt, schema, reader_options or {}).load(files).cache()
+        good = df.filter(F.col(_CORRUPT).isNull()).drop(_CORRUPT)
+        bad = df.filter(F.col(_CORRUPT).isNotNull())
+        good = add_audit_columns(good)
+        if bad_records_table is not None:
+            bad_rows = bad.select(
+                F.input_file_name().alias("source_file"),
+                F.col(_CORRUPT).alias("record"),
+                F.current_timestamp().alias("captured_ts"),
+            )
+            k_bad = bad_rows.count()
+            if k_bad:
+                bad_records_table.append(spark, bad_rows, commit_key=f"bad-{batch_key}")
+        else:
+            k_bad = bad.count()
+        snap = table.append(spark, good, commit_key=f"ingest-{batch_key}")
+        ledger.add(files)
+        ledger.clear_pending()
+        n_files += len(files)
+        n_rows += snap.summary.get("added_rows", 0)
+        n_bad += k_bad
+    return IngestResult(n_files, n_rows, n_bad, snap.snapshot_id)
 
 
 def ingest_stream(

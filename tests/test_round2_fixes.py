@@ -1,0 +1,198 @@
+"""Regression tests for the round-2 VERDICT/ADVICE fixes:
+
+* ingest exactly-once across a crash between append and ledger update
+  while NEW files arrive (pending write-ahead record)
+* CommitLock: atomic stale takeover + ownership-checked release
+* deduplicate(strategy='agg') falls back to the window strategy for
+  nulls-qualified order_by (min_by/max_by skip nulls)
+* IVF centroid training is not partition-biased (seeded Bernoulli
+  sample instead of sample(1.0).limit())
+* centroid persistence roundtrip (table-properties serialization)
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from medalforge_lakehouse_data_spark.format.metadata import CommitLock
+from medalforge_lakehouse_data_spark.format.table import Table
+from medalforge_lakehouse_data_spark.operators import ann
+from medalforge_lakehouse_data_spark.operators.etl_core import deduplicate
+from medalforge_lakehouse_data_spark.sources import ingest
+
+CSV_SCHEMA = StructType(
+    [StructField("id", StringType()), StructField("amount", DoubleType())]
+)
+
+
+def _write_csv(path, rows):
+    with open(path, "w") as f:
+        f.write("id,amount\n")
+        for r in rows:
+            f.write(f"{r[0]},{r[1]}\n")
+
+
+def test_ingest_replays_pending_batch_after_crash(spark, tmp_path, monkeypatch):
+    """Crash after table.append but before ledger.add, then a NEW file
+    arrives: the re-run must not duplicate the already-committed rows
+    (round-1 ADVICE: whole-backlog batch keys diverged on re-run)."""
+    src = tmp_path / "src"
+    src.mkdir()
+    _write_csv(src / "f1.csv", [("a", 1.0), ("b", 2.0)])
+    t = Table.create(str(tmp_path / "tbl"), StructType(
+        list(CSV_SCHEMA.fields)
+        + [StructField("ingestion_ts", StringType()), StructField("ingestion_date", StringType())]
+    ))
+    # loosen: ingest adds audit cols with their own types; build table from a dry run instead
+    import shutil
+
+    shutil.rmtree(tmp_path / "tbl")
+    from medalforge_lakehouse_data_spark.operators.etl_core import add_audit_columns
+
+    probe = add_audit_columns(spark.createDataFrame([("x", 0.0)], CSV_SCHEMA))
+    t = Table.create(str(tmp_path / "tbl"), probe.schema)
+
+    ckpt = str(tmp_path / "ckpt")
+    opts = {"header": "true"}
+
+    orig_add = ingest.FileLedger.add
+    crashed = {"done": False}
+
+    def flaky_add(self, files):
+        if not crashed["done"]:
+            crashed["done"] = True
+            raise RuntimeError("simulated crash between append and ledger.add")
+        orig_add(self, files)
+
+    monkeypatch.setattr(ingest.FileLedger, "add", flaky_add)
+    with pytest.raises(RuntimeError):
+        ingest.ingest_batch(spark, str(src), "csv", CSV_SCHEMA, t, ckpt,
+                            reader_options=opts)
+    monkeypatch.setattr(ingest.FileLedger, "add", orig_add)
+
+    # the append COMMITTED before the crash
+    assert t.scan(spark).count() == 2
+    # new file arrives before the retry — the old batch key must not change
+    _write_csv(src / "f2.csv", [("c", 3.0)])
+    res = ingest.ingest_batch(spark, str(src), "csv", CSV_SCHEMA, t, ckpt,
+                              reader_options=opts)
+    out = t.scan(spark)
+    assert out.count() == 3, "duplicate rows after crash-replay"
+    assert res.files_processed == 2  # replayed f1 batch + fresh f2
+    ids = sorted(r.id for r in out.select("id").collect())
+    assert ids == ["a", "b", "c"]
+    # a further run is a clean no-op
+    res2 = ingest.ingest_batch(spark, str(src), "csv", CSV_SCHEMA, t, ckpt,
+                               reader_options=opts)
+    assert res2.skipped and t.scan(spark).count() == 3
+
+
+def test_commit_lock_stale_takeover_and_ownership(tmp_path):
+    root = str(tmp_path)
+    lock_path = os.path.join(root, "metadata", ".commit.lock")
+    os.makedirs(os.path.dirname(lock_path))
+    # a crashed writer's stale lock
+    with open(lock_path, "w") as f:
+        f.write("999999:deadbeef")
+    past = time.time() - 3600
+    os.utime(lock_path, (past, past))
+    with CommitLock(root, timeout_s=2.0, stale_s=60.0):
+        # takeover succeeded; the lock now holds OUR token
+        with open(lock_path) as f:
+            assert f.read() != "999999:deadbeef"
+    assert not os.path.exists(lock_path)
+
+    # ownership check: if a thief replaced the lock mid-commit, __exit__
+    # must NOT delete the thief's lock
+    lk = CommitLock(root, timeout_s=2.0)
+    lk.__enter__()
+    with open(lock_path, "w") as f:
+        f.write("thief:token")
+    lk.__exit__(None, None, None)
+    assert os.path.exists(lock_path), "released a lock we no longer own"
+    os.unlink(lock_path)
+
+
+def test_dedup_agg_null_ordering_matches_window(spark):
+    df = spark.createDataFrame(
+        [(1, None, "x"), (1, 5, "y"), (2, None, "z")],
+        StructType([
+            StructField("k", LongType()),
+            StructField("v", LongType()),
+            StructField("tag", StringType()),
+        ]),
+    )
+    # asc (nulls first by default): NULL-v rows win; all-null group (k=2)
+    # must return a real row, not an all-NULL one
+    for spec in ("v asc", "v asc nulls first"):
+        arows = {(r.k, r.v, r.tag)
+                 for r in deduplicate(df, ["k"], [spec], strategy="agg").collect()}
+        assert arows == {(1, None, "x"), (2, None, "z")}, spec
+    # desc (nulls last): non-null max wins; all-null group keeps its row
+    win2 = {(r.k, r.v, r.tag)
+            for r in deduplicate(df, ["k"], ["v desc"], strategy="window").collect()}
+    agg2 = {(r.k, r.v, r.tag)
+            for r in deduplicate(df, ["k"], ["v desc"], strategy="agg").collect()}
+    assert agg2 == win2 == {(1, 5, "y"), (2, None, "z")}
+    # non-default nulls qualifier falls back to the window strategy
+    fb = {(r.k, r.v, r.tag)
+          for r in deduplicate(df, ["k"], ["v desc nulls first"], strategy="agg").collect()}
+    assert fb == {(1, None, "x"), (2, None, "z")}
+
+
+def _clustered_vectors(spark, n_clusters=4, per_cluster=200, dim=16, seed=7):
+    rng = np.random.default_rng(seed)
+    centers = rng.normal(size=(n_clusters, dim)) * 10
+    rows = []
+    vid = 0
+    for ci in range(n_clusters):
+        for _ in range(per_cluster):
+            v = centers[ci] + rng.normal(size=dim) * 0.1
+            rows.append((vid, ci, [float(x) for x in v]))
+            vid += 1
+    df = spark.createDataFrame(rows, ["vec_id", "cluster", "embedding"])
+    # adversarial layout: partition-pure clusters, cluster 0 first
+    return df.repartitionByRange(n_clusters, "cluster"), centers
+
+
+def test_ivf_centroids_not_partition_biased(spark):
+    df, centers = _clustered_vectors(spark)
+    # sample budget smaller than one cluster: the old first-partitions
+    # .limit() would train every centroid on cluster 0 alone
+    cents = ann.train_ivf_centroids(df, "embedding", nlist=4, sample_rows=150, seed=1)
+    cn = cents / (np.linalg.norm(cents, axis=1, keepdims=True) + 1e-9)
+    kn = centers / (np.linalg.norm(centers, axis=1, keepdims=True) + 1e-9)
+    covered = {int(np.argmax(kn @ c)) for c in cn}
+    assert len(covered) >= 3, f"centroids collapsed onto clusters {covered}"
+
+
+def test_ivf_recall_on_skewed_layout(spark):
+    df, _ = _clustered_vectors(spark)
+    queries = df.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    exact = ann.brute_force_topk(df, queries, k=5)
+    approx = ann.ivf_topk(df, queries, k=5, nlist=4, n_probe=2)
+    e = {(r.query_id, r.vec_id) for r in exact.collect()}
+    a = {(r.query_id, r.vec_id) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.9, f"IVF recall too low on skewed layout: {recall}"
+
+
+def test_centroid_property_roundtrip():
+    c = np.random.default_rng(3).normal(size=(8, 32))
+    prop = ann.centroids_to_property(c)
+    back = ann.centroids_from_property(prop)
+    assert back.shape == c.shape and np.allclose(back, c)
