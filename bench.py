@@ -73,7 +73,8 @@ def bench_maintenance(spark, timings: dict, extra: dict) -> None:
     from medalforge_lakehouse_data_spark.testing.datagen import IMAGES_SCHEMA, images_df
 
     with tempfile.TemporaryDirectory() as tmp:
-        t = Table.create(os.path.join(tmp, "imgs"), IMAGES_SCHEMA, partition_spec=["fmt"])
+        t = Table.create(os.path.join(tmp, "imgs"), IMAGES_SCHEMA, partition_spec=["fmt"],
+                         properties={"bloom.columns": "image_id"})
         t0 = time.monotonic()
         # n_bases = rows/4: mostly-unique blobs (realistic bytes; parquet
         # dictionaries can't dedup them) with a Zipf head for the skew paths
@@ -147,6 +148,19 @@ def bench_maintenance(spark, timings: dict, extra: dict) -> None:
         dt = time.monotonic() - t0
         timings["maint_merge"] = round(dt, 3)
         extra["merge_affected_files"] = f"{mm['affected_files']}/{mm['files_total']}"
+
+        # TRICKLE MERGE: a dozen keys against a table clustered on phash —
+        # image_id is uniform per file, so only the per-file key blooms
+        # can prune (round-1 rewrote 32/32 files here)
+        trickle = images_df(spark, 12, seed=99).withColumn(
+            "caption", F.concat(F.lit("v3 "), F.col("caption"))
+        )
+        t0 = time.monotonic()
+        tmm = merge_into(t, trickle, ["image_id"], spark, commit_key="bench-merge-trickle")
+        timings["maint_merge_trickle"] = round(time.monotonic() - t0, 3)
+        extra["merge_trickle_affected_files"] = (
+            f"{tmm['affected_files']}/{tmm['files_total']}"
+        )
 
 
 def main():

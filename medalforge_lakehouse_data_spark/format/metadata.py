@@ -91,22 +91,35 @@ class ColumnStats:
 
 @dataclass
 class DataFile:
-    """One immutable Parquet data file tracked by a manifest."""
+    """One immutable Parquet data file tracked by a manifest.
+
+    ``blooms`` holds optional per-column key bloom filters (raw JSON
+    dicts, see format/bloom.py) for merge-key pruning when min/max
+    ranges are useless (uniform keys after clustering on another key).
+    ``cluster`` marks files laid out by a clustering job ({"curve":...,
+    "columns": [...]}) so incremental clustering can skip them."""
 
     path: str  # relative to table root
     rows: int
     bytes: int
     partition: dict[str, Any] = field(default_factory=dict)
     stats: dict[str, ColumnStats] = field(default_factory=dict)
+    blooms: dict[str, dict] = field(default_factory=dict)
+    cluster: dict | None = None
 
     def to_json(self) -> dict:
-        return {
+        out = {
             "path": self.path,
             "rows": self.rows,
             "bytes": self.bytes,
             "partition": {k: encode_value(v) for k, v in self.partition.items()},
             "stats": {c: s.to_json() for c, s in self.stats.items()},
         }
+        if self.blooms:
+            out["blooms"] = self.blooms
+        if self.cluster:
+            out["cluster"] = self.cluster
+        return out
 
     @staticmethod
     def from_json(d: dict) -> "DataFile":
@@ -116,6 +129,8 @@ class DataFile:
             bytes=d["bytes"],
             partition={k: decode_value(v) for k, v in d.get("partition", {}).items()},
             stats={c: ColumnStats.from_json(s) for c, s in d.get("stats", {}).items()},
+            blooms=dict(d.get("blooms", {})),
+            cluster=d.get("cluster"),
         )
 
 

@@ -73,41 +73,87 @@ def file_stats(abs_path: str, stat_columns: list[str] | None = None) -> tuple[in
     return md.num_rows, os.path.getsize(abs_path), stats
 
 
+def file_blooms(
+    abs_path: str,
+    bloom_columns: list[str],
+    bits_per_key: int = 16,
+    max_bytes: int = 131_072,
+) -> dict[str, dict]:
+    """Per-column key bloom filters for one file (format/bloom.py).
+
+    Unlike footer stats this reads the column DATA (columnar, only the
+    requested columns). Files whose bloom would exceed ``max_bytes``
+    skip it — manifests must stay small; those files fall back to
+    range pruning."""
+    from medalforge_lakehouse_data_spark.format.bloom import Bloom
+
+    pf = pq.ParquetFile(abs_path)
+    present = {pf.metadata.schema.column(i).name
+               for i in range(len(pf.metadata.schema))}
+    out: dict[str, dict] = {}
+    for col in bloom_columns:
+        if col not in present:
+            continue
+        n = pf.metadata.num_rows
+        if (n * bits_per_key) // 8 > max_bytes:
+            continue
+        values = pf.read(columns=[col]).column(col).to_pandas().dropna().to_numpy()
+        if len(values):
+            out[col] = Bloom.build(values, bits_per_key).to_json()
+    return out
+
+
+def _one_entry(root, rel, stat_columns, partition, bloom_columns, bloom_bits,
+               bloom_max_bytes) -> DataFile:
+    abs_path = os.path.join(root, rel)
+    rows, nbytes, stats = file_stats(abs_path, stat_columns)
+    blooms = (
+        file_blooms(abs_path, bloom_columns, bloom_bits, bloom_max_bytes)
+        if bloom_columns else {}
+    )
+    return DataFile(path=rel, rows=rows, bytes=nbytes,
+                    partition=partition, stats=stats, blooms=blooms)
+
+
 def collect_entries(
     root: str,
     rel_paths: list[str],
     partitions: dict[str, dict[str, Any]] | None = None,
     stat_columns: list[str] | None = None,
     spark=None,
+    bloom_columns: list[str] | None = None,
+    bloom_bits_per_key: int = 16,
+    bloom_max_bytes: int = 131_072,
 ) -> list[DataFile]:
-    """Build DataFile entries (footer stats) for table-relative paths.
+    """Build DataFile entries (footer stats + optional key blooms) for
+    table-relative paths.
 
     ``partitions`` maps rel_path → partition values. When ``spark`` is
-    given and the file count is large, footer reads run as a Spark job.
+    given and the file count is large, the per-file work runs as a
+    Spark job.
     """
     partitions = partitions or {}
-
-    def one(rel: str) -> DataFile:
-        rows, nbytes, stats = file_stats(os.path.join(root, rel), stat_columns)
-        return DataFile(
-            path=rel, rows=rows, bytes=nbytes,
-            partition=partitions.get(rel, {}), stats=stats,
-        )
+    bloom_columns = list(bloom_columns or [])
 
     if spark is not None and len(rel_paths) > DISTRIBUTE_THRESHOLD:
         sc = spark.sparkContext
         n_slices = max(32, len(rel_paths) // 512)
-        payload = [(root, rel, stat_columns) for rel in rel_paths]
-        raw = (
+        payload = [
+            (root, rel, stat_columns, partitions.get(rel, {}), bloom_columns,
+             bloom_bits_per_key, bloom_max_bytes)
+            for rel in rel_paths
+        ]
+        return (
             sc.parallelize(payload, n_slices)
-            .map(lambda t: (t[1], file_stats(os.path.join(t[0], t[1]), t[2])))
+            .map(lambda t: _one_entry(*t))
             .collect()
         )
-        out = []
-        for rel, (rows, nbytes, stats) in raw:
-            out.append(DataFile(path=rel, rows=rows, bytes=nbytes,
-                                partition=partitions.get(rel, {}), stats=stats))
-        return out
 
     with ThreadPoolExecutor(max_workers=min(32, max(4, len(rel_paths)))) as ex:
-        return list(ex.map(one, rel_paths))
+        futs = [
+            ex.submit(_one_entry, root, rel, stat_columns,
+                      partitions.get(rel, {}), bloom_columns,
+                      bloom_bits_per_key, bloom_max_bytes)
+            for rel in rel_paths
+        ]
+        return [f.result() for f in futs]

@@ -366,7 +366,14 @@ class Table:
                 partitions[rel] = pvals
         shutil.rmtree(staging, ignore_errors=True)
         stat_cols = self._stat_columns(schema)
-        return collect_entries(self.root, rels, partitions, stat_cols, spark=spark)
+        props = meta.properties
+        bloom_cols = [c.strip() for c in props.get("bloom.columns", "").split(",") if c.strip()]
+        return collect_entries(
+            self.root, rels, partitions, stat_cols, spark=spark,
+            bloom_columns=bloom_cols,
+            bloom_bits_per_key=int(props.get("bloom.bits-per-key", 16)),
+            bloom_max_bytes=int(props.get("bloom.max-bytes-per-file", 131_072)),
+        )
 
     def _stat_columns(self, schema: StructType) -> list[str]:
         prop = self.metadata().properties.get("stats.columns")

@@ -34,6 +34,29 @@ from medalforge_lakehouse_data_spark.format.table import Table
 from medalforge_lakehouse_data_spark.operators.skew import salted_join
 
 BROADCAST_ROW_LIMIT = 1_000_000
+# trickle merges collect the distinct source key set for exact per-file
+# pruning; larger sources skip it (they touch most files anyway)
+MERGE_KEY_COLLECT_LIMIT = 100_000
+
+
+def _file_may_match(entry, key: str, sorted_keys: list, hashed_keys) -> bool:
+    """False only if the file provably contains NO source key: either no
+    sorted source key falls inside the file's [min,max], or the file's
+    key bloom rejects every source key. Conservative on missing stats."""
+    import bisect
+
+    st = entry.stats.get(key)
+    if st is not None and st.min is not None and st.max is not None:
+        i = bisect.bisect_left(sorted_keys, st.min)
+        if i >= len(sorted_keys) or sorted_keys[i] > st.max:
+            return False
+    bj = entry.blooms.get(key)
+    if bj is not None:
+        from medalforge_lakehouse_data_spark.format.bloom import Bloom
+
+        if not bool(Bloom.from_json(bj).may_contain_hashed(hashed_keys).any()):
+            return False
+    return True
 
 
 def merge_into(
@@ -80,12 +103,28 @@ def merge_into(
         # reference: emptiness probe short-circuits (merge.py:151-152)
         return {"snapshot_id": table.current_snapshot_id(), "noop": True}
 
-    # ---- prune affected target files by source key-range (metadata only)
+    # ---- prune affected target files (metadata only), three tiers:
+    #  1. global source key-range vs per-file min/max (always; one agg)
+    #  2. per-file containment of the exact sorted source-key set — a file
+    #     whose [min,max] holds NO actual source key is skipped even when
+    #     the global range spans it (collected only for trickle-sized
+    #     sources; bounded by MERGE_KEY_COLLECT_LIMIT)
+    #  3. per-file key BLOOM test (table property bloom.columns) — the
+    #     only tier that helps when the merge key is uniform per file,
+    #     e.g. image_id after the table was clustered by phash
+    #     (round-1 VERDICT #3: trickle merges rewrote 32/32 files)
     k0 = keys[0]
     b = source.agg(F.min(k0).alias("mn"), F.max(k0).alias("mx")).collect()[0]
     affected, prune_metrics = table.plan_files(
         filters=[(k0, "between", (b["mn"], b["mx"]))]
     )
+    if 0 < src_count <= MERGE_KEY_COLLECT_LIMIT:
+        from medalforge_lakehouse_data_spark.format.bloom import hash_values
+
+        src_keys = sorted(r[0] for r in source.select(k0).distinct().collect()
+                          if r[0] is not None)
+        hashed = hash_values(src_keys)
+        affected = [e for e in affected if _file_may_match(e, k0, src_keys, hashed)]
     affected_paths = [e.path for e in affected]
     if affected:
         target = spark.read.schema(schema).parquet(
@@ -151,14 +190,42 @@ def merge_into(
     props = table.metadata().properties
     bytes_affected = sum(e.bytes for e in affected)
     rows_est = sum(e.rows for e in affected) + src_count
+
+    # Preserve a recorded clustering layout (cluster.* table properties):
+    # re-key the merge result along the same curve and size files to the
+    # clustering target — otherwise every merge collapses the affected
+    # files into a couple of unsorted ones and scan pruning decays.
+    cl_cols = [c.strip() for c in props.get("cluster.columns", "").split(",") if c.strip()]
+    cluster_tag = None
+    sort_within = None
     target_file_bytes = int(props.get("write.target-file-bytes", 128 * 1024 * 1024))
+    if cl_cols and all(c in cols for c in cl_cols):
+        from medalforge_lakehouse_data_spark.maintenance.clustering import (
+            column_bounds,
+            with_curve_key,
+        )
+
+        curve = props.get("cluster.curve", "zorder")
+        bounds = column_bounds(table, cl_cols)
+        if all(bounds[c][0] is not None for c in cl_cols):
+            result = with_curve_key(result, cl_cols, bounds, curve)
+            sort_within = ["_zkey"]
+            cluster_tag = {"curve": curve, "columns": cl_cols}
+            target_file_bytes = int(
+                props.get("cluster.target-file-bytes", target_file_bytes)
+            )
     rows_per_file = int(props.get("write.target-rows-per-file", 1_000_000))
     n_out = max(
         1,
         round((bytes_affected * 1.2) / target_file_bytes),
         math.ceil(rows_est / max(1, rows_per_file)),
     )
-    added = table._write_data_files(spark, result, target_file_count=n_out)
+    added = table._write_data_files(
+        spark, result, target_file_count=n_out, sort_within=sort_within
+    )
+    if cluster_tag is not None:
+        for e in added:
+            e.cluster = cluster_tag
     snap = table.rewrite_files(
         affected_paths,
         added,

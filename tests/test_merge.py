@@ -173,3 +173,61 @@ def test_merge_salted_path_correct(spark, tmp_path):
     for k in range(0, 20, 3):
         assert by_k[k] == [f"new_{k}"], by_k[k]
     assert len(by_k[1]) == 50  # untouched duplicate-key rows intact
+
+
+UNIFORM = StructType(
+    [
+        StructField("id", LongType()),
+        StructField("grp", LongType()),
+        StructField("val", StringType()),
+    ]
+)
+
+
+def test_trickle_merge_prunes_uniform_key_via_blooms(spark, tmp_path):
+    """Round-1 VERDICT #3: a merge key uniformly spread across files
+    (table clustered on another column) made min/max pruning useless —
+    every trickle merge rewrote the whole table. Per-file key blooms
+    (table property bloom.columns) must cut the affected set to ~the
+    files actually holding source keys."""
+    t = Table.create(str(tmp_path / "t"), UNIFORM,
+                     properties={"bloom.columns": "id"})
+    df = spark.createDataFrame(
+        [(i, i % 8, f"v{i}") for i in range(4000)], UNIFORM
+    )
+    # cluster by grp: each of the 8 files holds one grp but a FULL id range
+    t.append(spark, df, target_file_count=8, sort_within=["grp"])
+    entries = t.files()
+    # range-partitioner sampling may fold two groups into one file
+    assert len(entries) >= 6
+    assert all("id" in e.blooms for e in entries), "blooms missing from manifests"
+    # every file spans nearly the whole id range → range pruning keeps all
+    spans_all = sum(
+        1 for e in entries
+        if e.stats["id"].min < 100 and e.stats["id"].max > 3900
+    )
+    assert spans_all == len(entries)
+
+    src = spark.createDataFrame([(7, 7 % 8, "new")], UNIFORM)
+    m = merge_into(t, src, ["id"], spark)
+    assert m["files_total"] == len(entries)
+    assert m["affected_files"] <= 2, f"bloom pruning ineffective: {m}"
+    rows = {r.id: r.val for r in t.scan(spark).collect()}
+    assert rows[7] == "new" and rows[8] == "v8" and len(rows) == 4000
+
+
+def test_trickle_merge_bloom_pruning_survives_compaction(spark, tmp_path):
+    from medalforge_lakehouse_data_spark.maintenance import compaction
+
+    t = Table.create(str(tmp_path / "t"), UNIFORM,
+                     properties={"bloom.columns": "id"})
+    df = spark.createDataFrame(
+        [(i, i % 4, f"v{i}") for i in range(2000)], UNIFORM
+    )
+    t.append(spark, df, target_file_count=16, sort_within=["grp"])
+    compaction.compact(t, spark, target_file_bytes=8 * 1024)
+    assert all("id" in e.blooms for e in t.files())
+    src = spark.createDataFrame([(3, 3, "post-compact")], UNIFORM)
+    m = merge_into(t, src, ["id"], spark)
+    assert m["affected_files"] < m["files_total"]
+    assert {r.val for r in t.scan(spark, filters=[("id", "=", 3)]).collect()} == {"post-compact"}
