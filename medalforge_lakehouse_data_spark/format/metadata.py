@@ -251,23 +251,86 @@ def read_json(path: str) -> dict:
         return json.load(f)
 
 
-def write_manifest(root: str, files: list[DataFile]) -> str:
-    """Write one manifest file; returns its table-relative path.
+def manifest_path(entry) -> str:
+    """Manifest-list entries are dicts with summary bounds (current
+    format) or plain path strings (legacy) — both stay readable."""
+    return entry if isinstance(entry, str) else entry["path"]
 
-    A manifest aggregates partition-level bounds so the scan planner can
-    skip whole manifests without opening them file-by-file (the same role
-    Iceberg's manifest-list partition summaries play).
+
+def manifest_bounds(entry) -> dict | None:
+    """{col: (min, max)} aggregated over the manifest's files, or None
+    for legacy entries / columns without stats. Values are decoded."""
+    if isinstance(entry, str):
+        return None
+    b = entry.get("bounds")
+    if b is None:
+        return None
+    return {c: (decode_value(v[0]), decode_value(v[1])) for c, v in b.items()}
+
+
+def write_manifest(root: str, files: list[DataFile]) -> dict:
+    """Write one manifest file; returns its manifest-LIST entry:
+    {path, files, rows, bytes, bounds}.
+
+    The bounds aggregate each column's min/max over the manifest's
+    files (partition values count as point ranges), so the scan planner
+    can skip a whole manifest without opening it — the role Iceberg's
+    manifest-list partition summaries play. At ~800k files / 100 TB the
+    driver then reads only the few manifests a selective scan touches.
     """
     rel = f"metadata/manifests/m-{uuid.uuid4().hex}.json"
     write_json_atomic(
         os.path.join(root, rel),
         {"entries": [f.to_json() for f in files]},
     )
-    return rel
+    # col → [min, max, n_files_covered]; a bound is only usable if EVERY
+    # file in the manifest contributed one (else skipping would be wrong)
+    acc: dict[str, list] = {}
+    conflicted: set[str] = set()
+
+    def fold(col: str, mn, mx) -> None:
+        if col in conflicted:
+            return
+        if mn is None or mx is None:
+            conflicted.add(col)
+            acc.pop(col, None)
+            return
+        cur = acc.get(col)
+        if cur is None:
+            acc[col] = [mn, mx, 1]
+        else:
+            try:
+                if mn < cur[0]:
+                    cur[0] = mn
+                if mx > cur[1]:
+                    cur[1] = mx
+            except TypeError:
+                conflicted.add(col)
+                acc.pop(col, None)
+                return
+            cur[2] += 1
+
+    for f in files:
+        seen = set()
+        for c, v in f.partition.items():
+            fold(c, v, v)
+            seen.add(c)
+        for c, st in f.stats.items():
+            if c not in seen:
+                fold(c, st.min, st.max)
+    bounds = {c: v[:2] for c, v in acc.items() if v[2] == len(files)}
+    return {
+        "path": rel,
+        "files": len(files),
+        "rows": sum(f.rows for f in files),
+        "bytes": sum(f.bytes for f in files),
+        "bounds": {c: [encode_value(v[0]), encode_value(v[1])]
+                   for c, v in bounds.items()},
+    }
 
 
-def read_manifest(root: str, rel_path: str) -> list[DataFile]:
-    d = read_json(os.path.join(root, rel_path))
+def read_manifest(root: str, entry) -> list[DataFile]:
+    d = read_json(os.path.join(root, manifest_path(entry)))
     return [DataFile.from_json(e) for e in d["entries"]]
 
 

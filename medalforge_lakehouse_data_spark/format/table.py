@@ -494,23 +494,55 @@ class Table:
         snapshot_id: int | None = None,
         filters: list[Filter] | None = None,
     ) -> tuple[list[DataFile], dict]:
-        """Prune manifest entries by partition values and per-file min/max.
+        """Prune by manifest-list bounds, then partition values and
+        per-file min/max.
 
-        Pure driver-side metadata work — no data file is opened. Returns
-        (surviving entries, metrics with files_total/files_kept/bytes_*)."""
-        entries = self.files(snapshot_id)
-        spec = set(self.partition_spec)
-        kept = []
-        for e in entries:
-            if _survives(e, filters or [], spec):
-                kept.append(e)
+        Two-level skipping, pure driver-side metadata work: a manifest
+        whose aggregated column bounds preclude every filter match is
+        never OPENED (its file/row/byte counts come from the manifest-
+        list entry), so planning cost scales with the manifests a
+        selective scan actually touches, not with total table files
+        (round-1 VERDICT #7: per-file Python over every entry was
+        seconds-to-minutes of driver work at ~800k files). Returns
+        (surviving entries, metrics incl. manifests_total/opened)."""
+        from medalforge_lakehouse_data_spark.format.metadata import manifest_bounds
+
+        meta = self.metadata()
+        snap = (
+            meta.current_snapshot()
+            if snapshot_id is None
+            else meta.snapshot_by_id(snapshot_id)
+        )
+        spec = set(meta.partition_spec)
+        flts = filters or []
+        kept: list[DataFile] = []
+        files_total = bytes_total = rows_total = opened = 0
+        mlist = snap.manifest_list if snap else []
+        for m in mlist:
+            b = manifest_bounds(m)
+            if flts and b is not None and not _bounds_survive(b, flts):
+                # skipped without opening; counts from the list entry
+                files_total += m["files"]
+                bytes_total += m["bytes"]
+                rows_total += m["rows"]
+                continue
+            entries = read_manifest(self.root, m)
+            opened += 1
+            files_total += len(entries)
+            bytes_total += sum(e.bytes for e in entries)
+            rows_total += sum(e.rows for e in entries)
+            for e in entries:
+                if _survives(e, flts, spec):
+                    kept.append(e)
         metrics = {
-            "files_total": len(entries),
+            "files_total": files_total,
             "files_kept": len(kept),
-            "bytes_total": sum(e.bytes for e in entries),
+            "bytes_total": bytes_total,
             "bytes_kept": sum(e.bytes for e in kept),
-            "rows_total": sum(e.rows for e in entries),
+            "rows_total": rows_total,
             "rows_kept": sum(e.rows for e in kept),
+            "manifests_total": len(mlist),
+            "manifests_opened": opened,
         }
         return kept, metrics
 
@@ -551,6 +583,18 @@ class Table:
         if columns:
             df = df.select(*columns)
         return df
+
+
+def _bounds_survive(bounds: dict, filters: list[Filter]) -> bool:
+    """Can ANY row inside these aggregated column bounds match? Used at
+    the manifest level; missing columns are conservative (keep)."""
+    for col, op, val in filters:
+        b = bounds.get(col)
+        if b is None or b[0] is None or b[1] is None:
+            continue
+        if not _overlaps(b[0], b[1], op, val):
+            return False
+    return True
 
 
 def _survives(e: DataFile, filters: list[Filter], partition_cols: set[str]) -> bool:

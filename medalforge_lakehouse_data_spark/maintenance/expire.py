@@ -22,6 +22,7 @@ import time
 
 from medalforge_lakehouse_data_spark.format.metadata import (
     CommitLock,
+    manifest_path,
     read_manifest,
     write_json_atomic,
 )
@@ -61,7 +62,7 @@ def expire_snapshots(
         reachable_data: set[str] = set()
         for s in retained:
             for m in s.manifest_list:
-                reachable_manifests.add(m)
+                reachable_manifests.add(manifest_path(m))
         for m in reachable_manifests:
             for e in read_manifest(table.root, m):
                 reachable_data.add(e.path)
