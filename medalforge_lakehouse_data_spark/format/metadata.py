@@ -106,6 +106,7 @@ class DataFile:
     stats: dict[str, ColumnStats] = field(default_factory=dict)
     blooms: dict[str, dict] = field(default_factory=dict)
     cluster: dict | None = None
+    schema_version: int | None = None  # schema the file was written with
 
     def to_json(self) -> dict:
         out = {
@@ -119,6 +120,8 @@ class DataFile:
             out["blooms"] = self.blooms
         if self.cluster:
             out["cluster"] = self.cluster
+        if self.schema_version is not None:
+            out["schema_version"] = self.schema_version
         return out
 
     @staticmethod
@@ -131,6 +134,7 @@ class DataFile:
             stats={c: ColumnStats.from_json(s) for c, s in d.get("stats", {}).items()},
             blooms=dict(d.get("blooms", {})),
             cluster=d.get("cluster"),
+            schema_version=d.get("schema_version"),
         )
 
 
@@ -140,9 +144,10 @@ class Snapshot:
     parent_id: int | None
     timestamp_ms: int
     operation: str  # append | overwrite | replace | delete | expire
-    manifest_list: list[str]  # relative paths of manifest JSON files
+    manifest_list: list  # manifest-list entries (dicts; legacy: path strings)
     summary: dict[str, Any] = field(default_factory=dict)
     commit_key: str | None = None  # idempotency key — duplicate commits no-op
+    schema_version: int | None = None  # schema in force when committed
 
     def to_json(self) -> dict:
         return {
@@ -153,6 +158,7 @@ class Snapshot:
             "manifest_list": self.manifest_list,
             "summary": self.summary,
             "commit_key": self.commit_key,
+            "schema_version": self.schema_version,
         }
 
     @staticmethod
@@ -165,13 +171,14 @@ class Snapshot:
             manifest_list=list(d["manifest_list"]),
             summary=d.get("summary", {}),
             commit_key=d.get("commit_key"),
+            schema_version=d.get("schema_version"),
         )
 
 
 @dataclass
 class TableMetadata:
     table_uuid: str
-    schema_json: dict  # StructType.jsonValue()
+    schema_json: dict  # StructType.jsonValue() — CURRENT schema version
     partition_spec: list[str]
     properties: dict[str, str]
     current_snapshot_id: int | None
@@ -179,10 +186,24 @@ class TableMetadata:
     sort_order: list[str] = field(default_factory=list)
     format_version: int = 1
     last_sequence: int = 0  # monotonically increasing snapshot id source
+    # schema evolution: every schema version ever in force, in order.
+    # Fields carry stable ids in their metadata ({"field_id": n}) so
+    # renames/widenings map by id across versions (Iceberg-style).
+    schema_history: list[dict] = field(default_factory=list)
+    last_field_id: int = 0
 
     @property
     def schema(self) -> StructType:
         return StructType.fromJson(self.schema_json)
+
+    @property
+    def current_schema_version(self) -> int:
+        return max(0, len(self.schema_history) - 1)
+
+    def schema_at(self, version: int | None) -> StructType:
+        if version is None or not self.schema_history:
+            return self.schema
+        return StructType.fromJson(self.schema_history[version])
 
     def snapshot_by_id(self, snapshot_id: int) -> Snapshot:
         for s in self.snapshots:
@@ -212,6 +233,8 @@ class TableMetadata:
             "current_snapshot_id": self.current_snapshot_id,
             "last_sequence": self.last_sequence,
             "snapshots": [s.to_json() for s in self.snapshots],
+            "schema_history": self.schema_history,
+            "last_field_id": self.last_field_id,
         }
 
     @staticmethod
@@ -226,6 +249,8 @@ class TableMetadata:
             sort_order=list(d.get("sort_order", [])),
             format_version=d.get("format_version", 1),
             last_sequence=d.get("last_sequence", 0),
+            schema_history=list(d.get("schema_history", [d["schema"]])),
+            last_field_id=d.get("last_field_id", 0),
         )
 
 

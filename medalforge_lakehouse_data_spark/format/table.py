@@ -67,6 +67,31 @@ _NULL_PART = "__HIVE_DEFAULT_PARTITION__"
 
 Filter = tuple  # (col, op, value) with op in {=, <, <=, >, >=, in, between}
 
+# widenings that lose no information (Iceberg's promotion set)
+_SAFE_WIDENINGS = {("integer", "long"), ("float", "double")}
+
+
+def _field_id(f) -> int | None:
+    return (f.metadata or {}).get("field_id")
+
+
+def _with_field_ids(schema: StructType, next_id: int = 1):
+    """Assign stable field ids (kept in field metadata) where missing.
+    Ids survive renames, so scans can align old files to the current
+    schema by id (Iceberg-style). Returns (schema, last_id_used)."""
+    from pyspark.sql.types import StructField
+
+    used = [fid for f in schema.fields if (fid := _field_id(f)) is not None]
+    nid = max([next_id - 1, *used]) + 1
+    fields = []
+    for f in schema.fields:
+        md = dict(f.metadata or {})
+        if "field_id" not in md:
+            md["field_id"] = nid
+            nid += 1
+        fields.append(StructField(f.name, f.dataType, f.nullable, md))
+    return StructType(fields), nid - 1
+
 
 def _cast_partition_value(raw: str, dtype) -> Any:
     if raw == _NULL_PART:
@@ -122,6 +147,7 @@ class Table:
             if schema[p].dataType.typeName() in ("array", "map", "struct", "binary"):
                 # reference: data_contract_manager.py:148-163 — no complex partitions
                 raise ValueError(f"partition column {p!r} may not be a complex/binary type")
+        schema, last_fid = _with_field_ids(schema)
         meta = TableMetadata(
             table_uuid=uuid.uuid4().hex,
             schema_json=schema.jsonValue(),
@@ -129,6 +155,8 @@ class Table:
             properties=dict(properties or {}),
             current_snapshot_id=None,
             snapshots=[],
+            schema_history=[schema.jsonValue()],
+            last_field_id=last_fid,
         )
         root = os.path.abspath(root)
         os.makedirs(os.path.join(root, "data"), exist_ok=True)
@@ -231,7 +259,89 @@ class Table:
                     f = StructField(f.name, f.dataType, f.nullable, md)
                 fields.append(f)
             meta.schema_json = StructType(fields).jsonValue()
+            if meta.schema_history:  # comments don't make a new version
+                meta.schema_history[-1] = meta.schema_json
             self._write_metadata_version(meta)
+
+    # -- schema evolution -----------------------------------------------------
+
+    def _evolve_schema(self, mutate) -> None:
+        """Commit a new schema version under the lock. ``mutate`` maps
+        (fields, meta) → new field list; files already written keep
+        their version and are aligned by field id at scan time."""
+        from pyspark.sql.types import StructField  # noqa: F401
+
+        with CommitLock(self.root):
+            meta = self.metadata()
+            fields = list(meta.schema.fields)
+            new_fields = mutate(fields, meta)
+            new_schema = StructType(new_fields)
+            meta.schema_json = new_schema.jsonValue()
+            if not meta.schema_history:
+                meta.schema_history = [meta.schema_json]
+            else:
+                meta.schema_history.append(meta.schema_json)
+            self._write_metadata_version(meta)
+
+    def add_column(self, name: str, dtype, comment: str | None = None) -> None:
+        """ALTER TABLE ADD COLUMN: appended with a fresh field id; rows in
+        existing files read back as NULL (scan-side backfill)."""
+        from pyspark.sql.types import StructField, _parse_datatype_string
+
+        dt = _parse_datatype_string(dtype) if isinstance(dtype, str) else dtype
+
+        def mutate(fields, meta):
+            if any(f.name == name for f in fields):
+                raise ValueError(f"column {name!r} already exists")
+            meta.last_field_id += 1
+            md = {"field_id": meta.last_field_id}
+            if comment:
+                md["comment"] = comment
+            return fields + [StructField(name, dt, True, md)]
+
+        self._evolve_schema(mutate)
+
+    def rename_column(self, old: str, new: str) -> None:
+        """ALTER TABLE RENAME COLUMN: the field id is stable, so files
+        written under the old name keep reading correctly."""
+        from pyspark.sql.types import StructField
+
+        def mutate(fields, meta):
+            names = [f.name for f in fields]
+            if old not in names:
+                raise KeyError(f"no column {old!r}")
+            if new in names:
+                raise ValueError(f"column {new!r} already exists")
+            if old in meta.partition_spec:
+                meta.partition_spec = [new if p == old else p for p in meta.partition_spec]
+            return [
+                StructField(new, f.dataType, f.nullable, f.metadata) if f.name == old else f
+                for f in fields
+            ]
+
+        self._evolve_schema(mutate)
+
+    def widen_column(self, name: str, new_dtype) -> None:
+        """ALTER TABLE ALTER COLUMN TYPE, safe promotions only
+        (int→long, float→double); old files cast up at scan time."""
+        from pyspark.sql.types import StructField, _parse_datatype_string
+
+        dt = _parse_datatype_string(new_dtype) if isinstance(new_dtype, str) else new_dtype
+
+        def mutate(fields, meta):
+            for i, f in enumerate(fields):
+                if f.name == name:
+                    pair = (f.dataType.typeName(), dt.typeName())
+                    if pair[0] != pair[1] and pair not in _SAFE_WIDENINGS:
+                        raise ValueError(
+                            f"unsafe type change {pair[0]}→{pair[1]} for {name!r}; "
+                            f"allowed: {sorted(_SAFE_WIDENINGS)}"
+                        )
+                    fields[i] = StructField(name, dt, f.nullable, f.metadata)
+                    return fields
+            raise KeyError(f"no column {name!r}")
+
+        self._evolve_schema(mutate)
 
     def _write_metadata_version(self, meta: TableMetadata) -> None:
         cur_v = int(self._pointer_version().split(".")[0][1:])
@@ -281,6 +391,7 @@ class Table:
                 manifest_list=manifest_list,
                 summary=summary,
                 commit_key=commit_key,
+                schema_version=meta.current_schema_version,
             )
             meta.snapshots.append(snap)
             meta.current_snapshot_id = sid
@@ -368,12 +479,16 @@ class Table:
         stat_cols = self._stat_columns(schema)
         props = meta.properties
         bloom_cols = [c.strip() for c in props.get("bloom.columns", "").split(",") if c.strip()]
-        return collect_entries(
+        entries = collect_entries(
             self.root, rels, partitions, stat_cols, spark=spark,
             bloom_columns=bloom_cols,
             bloom_bits_per_key=int(props.get("bloom.bits-per-key", 16)),
             bloom_max_bytes=int(props.get("bloom.max-bytes-per-file", 131_072)),
         )
+        sv = meta.current_schema_version
+        for e in entries:
+            e.schema_version = sv
+        return entries
 
     def _stat_columns(self, schema: StructType) -> list[str]:
         prop = self.metadata().properties.get("stats.columns")
@@ -572,17 +687,69 @@ class Table:
         kept, metrics = self.plan_files(snapshot_id, filters)
         if metrics_out is not None:
             metrics_out.update(metrics)
-        schema = self.schema
+        meta = self.metadata()
+        # schema evolution: a pinned snapshot presents the schema that was
+        # in force when it committed; the live table presents the current one
+        if snapshot_id is not None:
+            schema = meta.schema_at(meta.snapshot_by_id(snapshot_id).schema_version)
+        else:
+            schema = meta.schema
         if not kept:
             df = spark.createDataFrame([], schema)
         else:
-            paths = [os.path.join(self.root, e.path) for e in kept]
-            df = spark.read.schema(schema).parquet(*paths)
+            df = self._read_aligned(spark, kept, schema, meta)
         for flt in filters or []:
             df = df.filter(_to_column(flt))
         if columns:
             df = df.select(*columns)
         return df
+
+    def read_entries(self, spark: SparkSession, entries: list[DataFile]) -> DataFrame:
+        """Read specific manifest entries as the CURRENT schema, aligned
+        by field id. Maintenance jobs (merge/compaction/clustering) MUST
+        use this instead of spark.read.parquet on entry paths — a direct
+        read with the current schema silently NULLs renamed columns in
+        files written under an older schema version."""
+        if not entries:
+            return spark.createDataFrame([], self.schema)
+        meta = self.metadata()
+        return self._read_aligned(spark, entries, meta.schema, meta)
+
+    def _read_aligned(self, spark, kept: list[DataFile], present: StructType,
+                      meta: TableMetadata) -> DataFrame:
+        """Read file groups written under older schema versions and align
+        them to ``present`` by field id: renamed columns re-alias, widened
+        columns cast up, added columns backfill NULL. Single-version
+        tables take the direct-read fast path."""
+        from collections import defaultdict
+
+        groups: dict[int | None, list[DataFile]] = defaultdict(list)
+        for e in kept:
+            groups[e.schema_version].append(e)
+        parts = []
+        for ver, entries in groups.items():
+            vschema = meta.schema_at(ver)
+            paths = [os.path.join(self.root, e.path) for e in entries]
+            df = spark.read.schema(vschema).parquet(*paths)
+            if vschema.jsonValue() != present.jsonValue():
+                by_id = {_field_id(f): f for f in vschema.fields}
+                sel = []
+                for tf in present.fields:
+                    sf = by_id.get(_field_id(tf))
+                    if sf is None or _field_id(tf) is None:
+                        # fall back to name matching for id-less schemas
+                        sf = next((f for f in vschema.fields if f.name == tf.name),
+                                  None) if _field_id(tf) is None else sf
+                    if sf is None:
+                        sel.append(F.lit(None).cast(tf.dataType).alias(tf.name))
+                    else:
+                        sel.append(F.col(sf.name).cast(tf.dataType).alias(tf.name))
+                df = df.select(*sel)
+            parts.append(df)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
 
 
 def _bounds_survive(bounds: dict, filters: list[Filter]) -> bool:

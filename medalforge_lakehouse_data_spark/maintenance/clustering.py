@@ -146,8 +146,8 @@ def cluster_rewrite(
             bounds[c] = (agg[f"mn_{c}"], agg[f"mx_{c}"])
 
     if mode == "incremental" and len(files) < len(all_files):
-        paths = [os.path.join(table.root, e.path) for e in files]
-        df = spark.read.schema(table.schema).parquet(*paths)
+        # schema-evolution-safe: aligns files written under older versions
+        df = table.read_entries(spark, files)
     else:
         df = table.scan(spark, snapshot_id)
     keyed = with_curve_key(df, columns, bounds, curve)

@@ -100,8 +100,8 @@ def compact(
             metrics["skipped_units"] += 1
             continue
         ckpt.mark(unit, "running", files=len(files))
-        paths = [os.path.join(table.root, f.path) for f in files]
-        df = spark.read.schema(schema).parquet(*paths)
+        # schema-evolution-safe: aligns files written under older versions
+        df = table.read_entries(spark, files)
         added = table._write_data_files(spark, df, target_file_count=len(bins))
         table.rewrite_files(
             [f.path for f in files],

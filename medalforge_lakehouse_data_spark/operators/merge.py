@@ -23,7 +23,6 @@ From-scratch execution over our table format:
 
 from __future__ import annotations
 
-import os
 import time
 import uuid
 
@@ -126,12 +125,8 @@ def merge_into(
         hashed = hash_values(src_keys)
         affected = [e for e in affected if _file_may_match(e, k0, src_keys, hashed)]
     affected_paths = [e.path for e in affected]
-    if affected:
-        target = spark.read.schema(schema).parquet(
-            *[os.path.join(table.root, p) for p in affected_paths]
-        )
-    else:
-        target = spark.createDataFrame([], schema)
+    # schema-evolution-safe read: aligns old-version files by field id
+    target = table.read_entries(spark, affected)
 
     # ---- compute replacement rows for the affected files
     small_source = src_count <= BROADCAST_ROW_LIMIT
