@@ -36,6 +36,65 @@ from medalforge_lakehouse_data_spark.operators.etl_core import add_audit_columns
 
 _CORRUPT = "_corrupt_record"
 
+
+@dataclass(frozen=True)
+class FormatSpec:
+    """One ingestible source format (reference parity:
+    bronze/ingestors/factory.py:24-114 ``IngestorFactory.register`` —
+    users plug in new formats without touching the engine).
+
+    ``spark_format``: the DataFrameReader format name.
+    ``extensions``: filenames matched during source listing.
+    ``default_options``: merged under caller reader_options.
+    ``option_aliases``: caller-facing option name → Spark option name.
+    ``supports_corrupt_record``: text formats capture bad rows via
+    PERMISSIVE + columnNameOfCorruptRecord; binary formats (parquet,
+    orc) cannot and skip the quarantine column."""
+
+    name: str
+    extensions: tuple
+    spark_format: str
+    default_options: dict = None
+    option_aliases: dict = None
+    supports_corrupt_record: bool = True
+
+
+_FORMATS: dict[str, FormatSpec] = {}
+_BASE_ALIASES = {"delimiter": "sep", "multiline": "multiLine"}
+
+
+def register_format(spec: FormatSpec, replace: bool = False) -> None:
+    """Register (or with ``replace`` override) an ingest format."""
+    if spec.name in _FORMATS and not replace:
+        raise ValueError(f"format {spec.name!r} already registered")
+    _FORMATS[spec.name] = spec
+
+
+def get_format(name: str) -> FormatSpec:
+    try:
+        return _FORMATS[name]
+    except KeyError:
+        raise ValueError(
+            f"unsupported format {name!r}; registered: {sorted(_FORMATS)}"
+        ) from None
+
+
+register_format(FormatSpec("csv", (".csv",), "csv", option_aliases=_BASE_ALIASES))
+register_format(FormatSpec("json", (".json", ".jsonl"), "json",
+                           option_aliases=_BASE_ALIASES))
+register_format(FormatSpec("txt", (".txt",), "csv", option_aliases=_BASE_ALIASES))
+register_format(FormatSpec("tsv", (".tsv",), "csv",
+                           default_options={"sep": "\t"},
+                           option_aliases=_BASE_ALIASES))
+register_format(FormatSpec("parquet", (".parquet",), "parquet",
+                           supports_corrupt_record=False))
+
+
+def supported_formats() -> tuple:
+    return tuple(sorted(_FORMATS))
+
+
+# kept for callers that introspected the old constant
 SUPPORTED_FORMATS = ("csv", "json", "txt")
 
 
@@ -100,25 +159,30 @@ class FileLedger:
 
 
 def _reader(spark: SparkSession, fmt: str, schema: StructType, options: dict):
-    fmt = "csv" if fmt == "txt" else fmt
-    schema_plus = StructType(list(schema.fields) + [StructField(_CORRUPT, StringType())])
-    reader = (
-        spark.read.format(fmt)
-        .schema(schema_plus)
-        .option("mode", "PERMISSIVE")
-        .option("columnNameOfCorruptRecord", _CORRUPT)
-    )
-    for k, v in options.items():
-        if k == "delimiter":
-            k = "sep"
-        if k == "multiline":
-            k = "multiLine"
+    spec = get_format(fmt)
+    if spec.supports_corrupt_record:
+        schema_plus = StructType(
+            list(schema.fields) + [StructField(_CORRUPT, StringType())]
+        )
+        reader = (
+            spark.read.format(spec.spark_format)
+            .schema(schema_plus)
+            .option("mode", "PERMISSIVE")
+            .option("columnNameOfCorruptRecord", _CORRUPT)
+        )
+    else:
+        reader = spark.read.format(spec.spark_format).schema(schema)
+    merged = dict(spec.default_options or {})
+    merged.update(options)
+    aliases = spec.option_aliases or {}
+    for k, v in merged.items():
+        k = aliases.get(k, k)
         reader = reader.option(k, v if not isinstance(v, bool) else str(v).lower())
     return reader
 
 
 def list_source_files(source_dir: str, fmt: str) -> list[str]:
-    exts = {"csv": (".csv",), "json": (".json", ".jsonl"), "txt": (".txt",)}[fmt]
+    exts = tuple(get_format(fmt).extensions)
     out = []
     for dirpath, _dirs, files in os.walk(source_dir):
         for fn in files:
@@ -145,8 +209,7 @@ def ingest_batch(
     a pending record before the append, so re-runs after any crash replay
     that exact batch (idempotent via commit_key) before taking on newly
     arrived files as a separate batch."""
-    if fmt not in SUPPORTED_FORMATS:
-        raise ValueError(f"unsupported format {fmt!r}")
+    spec = get_format(fmt)  # raises on unregistered formats
     ledger = FileLedger(checkpoint_dir, reprocess_label)
     done = ledger.processed()
     all_files = list_source_files(source_dir, fmt)
@@ -188,8 +251,11 @@ def ingest_batch(
         # cache before touching _corrupt_record: Spark forbids predicates on
         # the corrupt-record column over raw files (QUERY_ONLY_CORRUPT_RECORD)
         df = _reader(spark, fmt, schema, reader_options or {}).load(files).cache()
-        good = df.filter(F.col(_CORRUPT).isNull()).drop(_CORRUPT)
-        bad = df.filter(F.col(_CORRUPT).isNotNull())
+        if spec.supports_corrupt_record:
+            good = df.filter(F.col(_CORRUPT).isNull()).drop(_CORRUPT)
+            bad = df.filter(F.col(_CORRUPT).isNotNull())
+        else:
+            good, bad = df, df.limit(0)
         good = add_audit_columns(good)
         if bad_records_table is not None:
             bad_rows = bad.select(
@@ -224,13 +290,13 @@ def ingest_stream(
     trigger(availableNow=True) drains the backlog then stops (reference
     T1 semantics). Spark's own checkpoint tracks processed files; the
     per-microbatch commit_key keeps table commits idempotent on replay."""
-    fmt_r = "csv" if fmt == "txt" else fmt
-    reader = spark.readStream.format(fmt_r).schema(schema)
-    for k, v in (reader_options or {}).items():
-        if k == "delimiter":
-            k = "sep"
-        if k == "multiline":
-            k = "multiLine"
+    spec = get_format(fmt)
+    reader = spark.readStream.format(spec.spark_format).schema(schema)
+    merged = dict(spec.default_options or {})
+    merged.update(reader_options or {})
+    aliases = spec.option_aliases or {}
+    for k, v in merged.items():
+        k = aliases.get(k, k)
         reader = reader.option(k, v if not isinstance(v, bool) else str(v).lower())
     stream = reader.load(source_dir)
     stream = add_audit_columns(stream)

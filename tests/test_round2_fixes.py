@@ -334,3 +334,54 @@ def test_plan_files_driver_time_large_metadata(spark, tmp_path):
     assert m["manifests_opened"] == 1
     assert len(kept) == 1 and kept[0].stats["k"].min <= 123456 <= kept[0].stats["k"].max
     assert dt < 1.0, f"selective plan took {dt:.2f}s driver-side"
+
+
+def test_ingest_format_registry(spark, tmp_path):
+    """VERDICT #10: new formats plug in via register_format (reference
+    parity: IngestorFactory.register) — here a pipe-delimited 'psv'."""
+    from medalforge_lakehouse_data_spark.operators.etl_core import add_audit_columns
+
+    ingest.register_format(ingest.FormatSpec(
+        "psv", (".psv",), "csv", default_options={"sep": "|"},
+        option_aliases={"delimiter": "sep", "multiline": "multiLine"},
+    ), replace=True)
+    src = tmp_path / "src"
+    src.mkdir()
+    (src / "a.psv").write_text("id|amount\nx|1.5\ny|2.5\n")
+    probe = add_audit_columns(spark.createDataFrame([("x", 0.0)], CSV_SCHEMA))
+    t = Table.create(str(tmp_path / "tbl"), probe.schema)
+    res = ingest.ingest_batch(
+        spark, str(src), "psv", CSV_SCHEMA, t, str(tmp_path / "ckpt"),
+        reader_options={"header": "true"},
+    )
+    assert res.rows_ingested == 2
+    assert {r.id for r in t.scan(spark).collect()} == {"x", "y"}
+    # duplicate registration guarded; unknown format raises with the list
+    with pytest.raises(ValueError, match="already registered"):
+        ingest.register_format(ingest.FormatSpec("psv", (".psv",), "csv"))
+    with pytest.raises(ValueError, match="unsupported format"):
+        ingest.get_format("avro")
+
+
+def test_ingest_builtin_tsv_and_parquet(spark, tmp_path):
+    from medalforge_lakehouse_data_spark.operators.etl_core import add_audit_columns
+
+    probe = add_audit_columns(spark.createDataFrame([("x", 0.0)], CSV_SCHEMA))
+    # tsv (registered by default, sep=\t)
+    src1 = tmp_path / "tsv"
+    src1.mkdir()
+    (src1 / "a.tsv").write_text("id\tamount\nu\t9.0\n")
+    t1 = Table.create(str(tmp_path / "t1"), probe.schema)
+    r1 = ingest.ingest_batch(spark, str(src1), "tsv", CSV_SCHEMA, t1,
+                             str(tmp_path / "c1"), reader_options={"header": "true"})
+    assert r1.rows_ingested == 1
+    # parquet (no corrupt-record column)
+    src2 = tmp_path / "pq"
+    src2.mkdir()
+    spark.createDataFrame([("p", 3.0)], CSV_SCHEMA).coalesce(1).write.mode(
+        "overwrite").parquet(str(src2 / "part"))
+    t2 = Table.create(str(tmp_path / "t2"), probe.schema)
+    r2 = ingest.ingest_batch(spark, str(src2), "parquet", CSV_SCHEMA, t2,
+                             str(tmp_path / "c2"))
+    assert r2.rows_ingested == 1 and r2.rows_corrupt == 0
+    assert {r.id for r in t2.scan(spark).collect()} == {"p"}
