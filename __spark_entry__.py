@@ -500,11 +500,13 @@ def q_docs_minhash_near_dup(spark, sf):
     """MinHash-LSH candidates → exact shingle-Jaccard verify ≥ 0.8.
 
     The verified output equals DuckDB's brute-force all-pairs Jaccard
-    at this threshold: 32 bands × 2 rows, so a pair with true j ≥ 0.8
-    misses the candidate set with prob (1-0.8²)^32 ≈ 6e-15 — and the
-    est_jaccard pre-filter (0.35) sits > 9σ below j=0.8 with 64 hashes.
-    This makes the LSH path a full driver-oracle row instead of the
-    round-1 rows-only check."""
+    at this threshold: 24 bands × 4 rows, so a pair with true j ≥ 0.8
+    misses the candidate set with prob (1-0.8⁴)^24 ≈ 3e-6 — and the
+    est_jaccard pre-filter (0.5) sits > 7σ below j=0.8 with 96 hashes.
+    (r=4 keeps band buckets selective; the earlier r=2 variant made
+    ~half of all organic pairs candidates at sf0.1 and the candidate
+    join dominated.) This makes the LSH path a full driver-oracle row
+    instead of the round-1 rows-only check."""
     from medalforge_lakehouse_data_spark.operators.dedup import (
         minhash_near_dup_pairs,
         shingle_jaccard_verify,
@@ -512,7 +514,7 @@ def q_docs_minhash_near_dup(spark, sf):
 
     corpus = _planted_corpus(spark, sf)
     cand = minhash_near_dup_pairs(
-        corpus, "doc_id", "text", num_hashes=64, bands=32, threshold=0.35
+        corpus, "doc_id", "text", num_hashes=96, bands=24, threshold=0.5
     )
     ver = shingle_jaccard_verify(cand, corpus, "doc_id", "text", shingle_k=5)
     return ver.filter(F.col("jaccard") >= 0.8).select(

@@ -169,6 +169,16 @@ def main():
     spark = get_spark(app_name="mf-bench", master=f"local[{CPUS}]",
                       shuffle_partitions=max(CPUS, 8))
     spark.sparkContext.setLogLevel("ERROR")
+    # Pre-warm: JVM codegen, shuffle machinery, and the Python UDF worker
+    # pool — otherwise the FIRST measured query absorbs ~4-8 s of session
+    # startup that is not query cost (round-1 VERDICT perf note #5).
+    from pyspark.sql import functions as F
+
+    def _warm_iter(batches):
+        yield from batches
+
+    spark.range(100_000).groupBy((F.col("id") % 7).alias("g")).count().collect()
+    spark.range(10_000).mapInPandas(_warm_iter, "id long").count()
     timings: dict = {}
     extra: dict = {}
     t_all = time.monotonic()

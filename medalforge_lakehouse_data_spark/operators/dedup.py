@@ -20,7 +20,7 @@ import zlib
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import ArrayType, LongType
@@ -38,6 +38,16 @@ def _det_hash64(s: str, seed: int = 0) -> int:
     hi = zlib.crc32(b, seed & 0xFFFFFFFF)
     lo = zlib.crc32(b, ~seed & 0xFFFFFFFF)
     return ((hi << 31) ^ lo) & 0x7FFFFFFFFFFFFFFF
+
+
+def _spread(df: DataFrame) -> DataFrame:
+    """Repartition to the session's default parallelism before CPU-dense
+    per-row work. Spark's maxPartitionBytes binning coalesces a small
+    parquet source (e.g. one 10 MB documents file) into 1-3 input
+    splits, so shingling/signature work would otherwise run on 1-3
+    cores; the raw-text shuffle this costs is trivial by comparison."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(target)
 
 
 def exact_dedup(df: DataFrame, columns: list[str], order_by: list[str] | None = None) -> DataFrame:
@@ -142,7 +152,7 @@ def minhash_near_dup_pairs(
         raise ValueError("num_hashes must be divisible by bands")
     r = num_hashes // bands
     sig = minhash_signature_udf(num_hashes, shingle_k, seed)
-    with_sig = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("text")) \
+    with_sig = _spread(df.select(F.col(id_col).alias("id"), F.col(text_col).alias("text"))) \
                  .withColumn("sig", sig(F.col("text"))).filter(F.col("sig").isNotNull())
     with_sig = with_sig.cache()
 
@@ -233,7 +243,8 @@ def simhash_near_dup_pairs(
     nb = max_hamming + 1
     width = 64 // nb
     sim = simhash_udf(seed)
-    base = df.select(F.col(id_col).alias("id"), sim(F.col(text_col)).alias("sh")) \
+    base = _spread(df.select(F.col(id_col).alias("id"), F.col(text_col).alias("t"))) \
+             .select("id", sim(F.col("t")).alias("sh")) \
              .filter(F.col("sh").isNotNull()).cache()
     def _band_bits(i: int):
         shifted = F.shiftright(F.col("sh"), i * width)
@@ -262,6 +273,21 @@ def simhash_near_dup_pairs(
     )
 
 
+def _word_ngram_hashes(text: Column, n: int) -> Column:
+    """Distinct xxhash64 of n-word windows over whitespace-tokenized,
+    lowercased text (JVM-side). Shorter texts hash the whole token run."""
+    words = F.split(F.lower(F.trim(text)), r"\s+")
+    return F.when(
+        F.array_size(words) >= n,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.array_size(words) - n),
+                lambda i: F.xxhash64(F.concat_ws(" ", F.slice(words, i + 1, n))),
+            )
+        ),
+    ).otherwise(F.array(F.xxhash64(F.concat_ws(" ", words))))
+
+
 def shingle_jaccard_verify(
     pairs: DataFrame,
     docs: DataFrame,
@@ -273,20 +299,11 @@ def shingle_jaccard_verify(
     the verification stage after any LSH candidate generator.
 
     JVM-side throughout: shingle sets as distinct xxhash64 of k-word
-    windows (whitespace-tokenized, lowercased — same tokenization as the
-    minhash/simhash kernels), |A∩B| via array_intersect. Runs only on
-    candidates, so the cost is O(pairs), not O(n²)."""
-    words = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
-    grams = F.when(
-        F.array_size(words) >= shingle_k,
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(0), F.array_size(words) - shingle_k),
-                lambda i: F.xxhash64(F.concat_ws(" ", F.slice(words, i + 1, shingle_k))),
-            )
-        ),
-    ).otherwise(F.array(F.xxhash64(F.concat_ws(" ", words))))
-    g = docs.select(F.col(id_col).alias("id"), grams.alias("grams"))
+    windows (same tokenization as the minhash/simhash kernels), |A∩B|
+    via array_intersect. Runs only on candidates, so the cost is
+    O(pairs), not O(n²)."""
+    g = _spread(docs.select(F.col(id_col).alias("id"), F.col(text_col).alias("t"))) \
+        .select("id", _word_ngram_hashes(F.col("t"), shingle_k).alias("grams"))
     return (
         pairs.select("id_a", "id_b")
         .join(g.select(F.col("id").alias("id_a"), F.col("grams").alias("g_a")), "id_a")
@@ -313,17 +330,8 @@ def ngram_jaccard_pairs(
     explode n-grams → self-join on the n-gram (postings capped at
     ``max_posting`` to bound hot-gram fanout) → |A∩B| per pair → Jaccard
     with per-doc set sizes. Pure DataFrame ops, fully distributed."""
-    words = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
-    grams = F.when(
-        F.array_size(words) >= n,
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(0), F.array_size(words) - n),
-                lambda i: F.xxhash64(F.concat_ws(" ", F.slice(words, i + 1, n))),
-            )
-        ),
-    ).otherwise(F.array(F.xxhash64(F.concat_ws(" ", words))))
-    base = df.select(F.col(id_col).alias("id"), grams.alias("grams")).cache()
+    base = _spread(df.select(F.col(id_col).alias("id"), F.col(text_col).alias("t"))) \
+        .select("id", _word_ngram_hashes(F.col("t"), n).alias("grams")).cache()
     sizes = base.select("id", F.array_size("grams").alias("sz"))
     posts = base.select("id", F.explode("grams").alias("g"))
     # drop hot grams via groupBy + broadcast anti-join: partial-aggregates
