@@ -1,0 +1,99 @@
+"""Policy-driven maintenance trigger — "auto compact after N appends".
+
+The reference leans on Databricks auto-optimize; here the equivalent is
+an explicit, cheap policy check a caller (or the ingest loop) runs after
+commits. All decisions are metadata-only; the triggered jobs are the
+regular resumable maintenance jobs.
+
+Policy knobs (all optional):
+    compact_after_appends   trigger bin-packing compaction once this
+                            many append/merge snapshots landed since the
+                            last compact
+    small_file_bytes        only count files smaller than this toward
+                            the small-file backlog (default 32 MiB)
+    min_small_files         require at least this many small files
+                            before compacting (default 8)
+    cluster_incremental     after compacting, re-cluster NEW files into
+                            the layout recorded in cluster.* properties
+                            (mode='incremental'; no-op when the table
+                            was never clustered)
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass
+
+from pyspark.sql import SparkSession
+
+from medalforge_lakehouse_data_spark.format.table import Table
+
+
+@dataclass
+class MaintenancePolicy:
+    compact_after_appends: int = 8
+    small_file_bytes: int = 32 * 1024 * 1024
+    min_small_files: int = 8
+    target_file_bytes: int = 128 * 1024 * 1024
+    cluster_incremental: bool = True
+
+
+def appends_since_last_compact(table: Table) -> int:
+    n = 0
+    for s in reversed(table.snapshots()):
+        if s.operation in ("compact", "cluster", "overwrite"):
+            break
+        if s.operation in ("append", "merge"):
+            n += 1
+    return n
+
+
+def maybe_maintain(
+    table: Table,
+    spark: SparkSession,
+    policy: MaintenancePolicy | None = None,
+    job_id: str | None = None,
+) -> dict:
+    """Run compaction (and incremental re-clustering) when the policy
+    fires; otherwise a metadata-only no-op. Safe to call after every
+    ingest batch."""
+    from medalforge_lakehouse_data_spark.maintenance import clustering, compaction
+
+    policy = policy or MaintenancePolicy()
+    job_id = job_id or f"auto-{int(time.time())}"
+    out: dict = {"job_id": job_id, "compacted": False, "clustered": False}
+
+    n_appends = appends_since_last_compact(table)
+    out["appends_since_compact"] = n_appends
+    if n_appends < policy.compact_after_appends:
+        return out
+    small = [e for e in table.files() if e.bytes < policy.small_file_bytes]
+    out["small_files"] = len(small)
+    if len(small) < policy.min_small_files:
+        return out
+
+    cm = compaction.compact(
+        table, spark,
+        target_file_bytes=policy.target_file_bytes,
+        job_id=f"{job_id}-compact",
+    )
+    out.update(compacted=True, compact=
+               {k: cm.get(k) for k in ("files_in", "files_out", "seconds")})
+
+    props = table.metadata().properties
+    cl_cols = [c.strip() for c in props.get("cluster.columns", "").split(",")
+               if c.strip()]
+    if policy.cluster_incremental and cl_cols:
+        km = clustering.cluster_rewrite(
+            table, spark,
+            columns=tuple(cl_cols),
+            curve=props.get("cluster.curve", "zorder"),
+            target_file_bytes=int(props.get("cluster.target-file-bytes",
+                                            policy.target_file_bytes)),
+            mode="incremental",
+            min_input_files=1,  # even a single post-compact file re-clusters
+            job_id=f"{job_id}-cluster",
+        )
+        out.update(clustered=km.get("files_in", 0) > 0,
+                   cluster={k: km.get(k) for k in ("files_in", "files_out", "seconds")})
+    return out

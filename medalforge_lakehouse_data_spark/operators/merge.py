@@ -68,12 +68,26 @@ def merge_into(
     commit_key: str | None = None,
     n_salts: int = 0,
     check_unique_keys: bool = True,
+    matched_condition: str | None = None,
+    update_columns: list[str] | None = None,
 ) -> dict:
-    """Execute MERGE; returns metrics dict with snapshot id and counts."""
+    """Execute MERGE; returns metrics dict with snapshot id and counts.
+
+    ``matched_condition``: SQL expression gating the matched clause
+    (``WHEN MATCHED AND <cond> THEN ...``); reference the target row as
+    ``t.<col>`` and the source row as ``s.<col>``. Matched rows failing
+    the condition stay unchanged. ``update_columns``: restrict the
+    UPDATE to a column subset (``UPDATE SET col = s.col, ...``); other
+    columns keep their target values. Inserts are unaffected by both.
+    """
     if when_matched not in ("update", "delete", None):
         raise ValueError(f"when_matched must be update|delete|None, got {when_matched}")
     if when_not_matched not in ("insert", None):
         raise ValueError(f"when_not_matched must be insert|None, got {when_not_matched}")
+    if (matched_condition or update_columns) and when_matched is None:
+        raise ValueError("matched_condition/update_columns need a WHEN MATCHED clause")
+    if update_columns and when_matched != "update":
+        raise ValueError("update_columns only applies to when_matched='update'")
     t0 = time.monotonic()
     schema = table.schema
     cols = schema.fieldNames()
@@ -124,12 +138,23 @@ def merge_into(
                           if r[0] is not None)
         hashed = hash_values(src_keys)
         affected = [e for e in affected if _file_may_match(e, k0, src_keys, hashed)]
-    affected_paths = [e.path for e in affected]
     # schema-evolution-safe read: aligns old-version files by field id
     target = table.read_entries(spark, affected)
 
     # ---- compute replacement rows for the affected files
     small_source = src_count <= BROADCAST_ROW_LIMIT
+    if matched_condition is not None or update_columns is not None:
+        result = _conditional_merge_rows(
+            target, F.broadcast(source) if small_source else source,
+            keys, cols, when_matched, when_not_matched,
+            matched_condition, update_columns,
+        )
+        out = _write_and_commit(
+            table, spark, result, affected, prune_metrics, src_count,
+            keys, commit_key, cols, t0,
+        )
+        source.unpersist()
+        return out
     src_for_join = F.broadcast(source.select(*keys)) if small_source else source.select(*keys)
     if when_matched is None:
         # matched target rows are untouched; only inserts are added
@@ -177,7 +202,60 @@ def merge_into(
     result = pieces[0]
     for p in pieces[1:]:
         result = result.unionByName(p)
+    out = _write_and_commit(
+        table, spark, result, affected, prune_metrics, src_count,
+        keys, commit_key, cols, t0,
+    )
+    source.unpersist()
+    return out
 
+
+def _conditional_merge_rows(
+    target: DataFrame,
+    source: DataFrame,
+    keys: list[str],
+    cols: list[str],
+    when_matched: str,
+    when_not_matched: str | None,
+    matched_condition: str | None,
+    update_columns: list[str] | None,
+) -> DataFrame:
+    """Row computation for conditional / column-subset MERGE clauses.
+
+    One left join (t ← s on keys); per row: WHEN MATCHED AND cond →
+    update the subset (or delete), else keep the target row verbatim.
+    The condition sees the target row as ``t.*`` and the source row as
+    ``s.*``. Source-key uniqueness (checked by the caller) guarantees
+    the left join never multiplies target rows."""
+    if update_columns:
+        bad = [c for c in update_columns if c not in cols or c in keys]
+        if bad:
+            raise ValueError(f"update_columns not updatable (missing or keys): {bad}")
+    t, s = target.alias("t"), source.alias("s")
+    joined = t.join(s, on=[t[k] == s[k] for k in keys], how="left")
+    # ANSI MERGE semantics: NULL keys never match, so a non-null s-key on
+    # the left-joined row is exactly "this target row matched a source row"
+    matched = F.col(f"s.{keys[0]}").isNotNull()
+    fire = matched & (F.expr(matched_condition) if matched_condition else F.lit(True))
+    if when_matched == "update":
+        upd = set(update_columns or [c for c in cols if c not in keys])
+        out = joined.select(*[
+            (F.when(fire, F.col(f"s.{c}")).otherwise(F.col(f"t.{c}")).alias(c)
+             if c in upd else F.col(f"t.{c}").alias(c))
+            for c in cols
+        ])
+    else:  # delete
+        out = joined.filter(~fire).select(*[F.col(f"t.{c}").alias(c) for c in cols])
+    if when_not_matched == "insert":
+        inserts = source.join(target.select(*keys).distinct(), keys, "left_anti")
+        out = out.unionByName(inserts.select(*cols))
+    return out
+
+
+def _write_and_commit(table, spark, result, affected, prune_metrics, src_count,
+                      keys, commit_key, cols, t0) -> dict:
+    """Shared MERGE tail: size outputs, preserve any recorded clustering
+    layout, write the replacement files, and commit the rewrite."""
     # size outputs to the incoming data volume; the rows-based floor covers
     # insert-heavy merges where no existing file is affected (bytes=0)
     import math
@@ -222,7 +300,7 @@ def merge_into(
         for e in added:
             e.cluster = cluster_tag
     snap = table.rewrite_files(
-        affected_paths,
+        [e.path for e in affected],
         added,
         operation="merge",
         commit_key=commit_key or f"merge-{uuid.uuid4().hex}",
@@ -232,7 +310,6 @@ def merge_into(
             "files_pruned": prune_metrics["files_total"] - prune_metrics["files_kept"],
         },
     )
-    source.unpersist()
     return {
         "snapshot_id": snap.snapshot_id,
         "source_rows": src_count,

@@ -231,3 +231,59 @@ def test_trickle_merge_bloom_pruning_survives_compaction(spark, tmp_path):
     m = merge_into(t, src, ["id"], spark)
     assert m["affected_files"] < m["files_total"]
     assert {r.val for r in t.scan(spark, filters=[("id", "=", 3)]).collect()} == {"post-compact"}
+
+
+def test_merge_conditional_update(spark, simple_table):
+    """WHEN MATCHED AND <cond> THEN UPDATE — non-qualifying matches stay."""
+    t = simple_table
+    src = spark.createDataFrame(
+        [(5, "new_5"), (6, "skip_6"), (200, "new_200")], SIMPLE
+    )
+    merge_into(t, src, ["k"], spark,
+               matched_condition="s.val LIKE 'new%'")
+    rows = {r.k: r.val for r in t.scan(spark).collect()}
+    assert rows[5] == "new_5"        # matched + condition true → updated
+    assert rows[6] == "old_6"        # matched + condition false → unchanged
+    assert rows[200] == "new_200"    # not matched → inserted (unconditional)
+    assert len(rows) == 101
+
+
+def test_merge_conditional_delete(spark, simple_table):
+    t = simple_table
+    src = spark.createDataFrame([(1, "x"), (2, "KEEP"), (999, "x")], SIMPLE)
+    merge_into(t, src, ["k"], spark, when_matched="delete",
+               when_not_matched=None, matched_condition="s.val <> 'KEEP'")
+    ks = {r.k for r in t.scan(spark).collect()}
+    assert 1 not in ks and 2 in ks and len(ks) == 99
+
+
+def test_merge_update_column_subset(spark, tmp_path):
+    schema = StructType([
+        StructField("k", LongType()),
+        StructField("val", StringType()),
+        StructField("audit", StringType()),
+    ])
+    t = Table.create(str(tmp_path / "t"), schema)
+    t.append(spark, spark.createDataFrame(
+        [(i, f"old_{i}", f"created_{i}") for i in range(20)], schema),
+        target_file_count=2)
+    src = spark.createDataFrame([(3, "new_3", "SHOULD_NOT_LAND"),
+                                 (50, "ins_50", "created_50")], schema)
+    merge_into(t, src, ["k"], spark, update_columns=["val"])
+    rows = {r.k: (r.val, r.audit) for r in t.scan(spark).collect()}
+    assert rows[3] == ("new_3", "created_3")     # val updated, audit kept
+    assert rows[50] == ("ins_50", "created_50")  # insert takes ALL columns
+    assert rows[4] == ("old_4", "created_4")
+    with pytest.raises(ValueError, match="not updatable"):
+        merge_into(t, src, ["k"], spark, update_columns=["k"])
+
+
+def test_merge_conditional_update_with_target_reference(spark, simple_table):
+    """Condition comparing source vs target values (t./s. references)."""
+    t = simple_table
+    src = spark.createDataFrame([(5, "a_smaller"), (6, "zzz_bigger")], SIMPLE)
+    merge_into(t, src, ["k"], spark, when_not_matched=None,
+               matched_condition="s.val > t.val")
+    rows = {r.k: r.val for r in t.scan(spark).collect()}
+    assert rows[5] == "old_5"       # 'a_smaller' < 'old_5' → no update
+    assert rows[6] == "zzz_bigger"  # 'zzz_bigger' > 'old_6' → updated

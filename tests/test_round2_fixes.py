@@ -385,3 +385,38 @@ def test_ingest_builtin_tsv_and_parquet(spark, tmp_path):
                              str(tmp_path / "c2"))
     assert r2.rows_ingested == 1 and r2.rows_corrupt == 0
     assert {r.id for r in t2.scan(spark).collect()} == {"p"}
+
+
+def test_auto_maintenance_policy(spark, tmp_path):
+    """Auto-compact fires after N appends, then incremental clustering
+    folds the new files into the recorded layout."""
+    from medalforge_lakehouse_data_spark.maintenance import clustering
+    from medalforge_lakehouse_data_spark.maintenance.auto import (
+        MaintenancePolicy,
+        appends_since_last_compact,
+        maybe_maintain,
+    )
+    from medalforge_lakehouse_data_spark.testing.datagen import IMAGES_SCHEMA, images_df
+
+    t = Table.create(str(tmp_path / "t"), IMAGES_SCHEMA)
+    t.append(spark, images_df(spark, 400, seed=5), target_file_count=4)
+    clustering.cluster_rewrite(t, spark, columns=("phash", "w", "h"),
+                               target_file_bytes=256 * 1024)
+    pol = MaintenancePolicy(compact_after_appends=3, min_small_files=2,
+                            small_file_bytes=64 * 1024 * 1024,
+                            target_file_bytes=8 * 1024 * 1024)
+    # below threshold → no-op
+    t.append(spark, images_df(spark, 50, seed=6, id_offset=10_000), target_file_count=2)
+    r = maybe_maintain(t, spark, pol)
+    assert not r["compacted"] and r["appends_since_compact"] == 1
+    for i in range(2):
+        t.append(spark, images_df(spark, 50, seed=7 + i, id_offset=20_000 + i * 1000),
+                 target_file_count=2)
+    rows_before = t.scan(spark).count()
+    r = maybe_maintain(t, spark, pol)
+    assert r["compacted"], r
+    assert r["clustered"], r
+    assert t.scan(spark).count() == rows_before
+    assert appends_since_last_compact(t) == 0
+    # layout tags preserved across the auto pass
+    assert all(e.cluster for e in t.files())
