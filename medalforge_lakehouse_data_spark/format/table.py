@@ -70,6 +70,34 @@ Filter = tuple  # (col, op, value) with op in {=, <, <=, >, >=, in, between}
 # widenings that lose no information (Iceberg's promotion set)
 _SAFE_WIDENINGS = {("integer", "long"), ("float", "double")}
 
+# partition-spec transforms: "col" (identity) or "bucket(col, N)" —
+# Iceberg-style hash bucketing so point-lookup/merge keys stay prunable
+# even when the table is clustered on different columns
+_BUCKET_RE = __import__("re").compile(r"^bucket\(\s*([A-Za-z_]\w*)\s*,\s*(\d+)\s*\)$")
+
+
+def parse_partition_field(entry: str) -> tuple[str, str, str, int | None]:
+    """Spec entry → (field_name, source_col, transform, n_buckets).
+    Identity fields keep their column name; bucket fields are named
+    '<col>_bucket' and hold pmod(xxhash64(col), n)."""
+    m = _BUCKET_RE.match(entry.strip())
+    if m:
+        col, n = m.group(1), int(m.group(2))
+        if n < 1:
+            raise ValueError(f"bucket count must be >= 1: {entry!r}")
+        return f"{col}_bucket", col, "bucket", n
+    return entry, entry, "identity", None
+
+
+def partition_field_expr(entry: str):
+    """(field_name, Column expr) for a partition-spec entry. The bucket
+    expression is the SINGLE definition shared by the write path and the
+    merge planner — they must agree bit-for-bit."""
+    name, col, transform, n = parse_partition_field(entry)
+    if transform == "bucket":
+        return name, F.pmod(F.xxhash64(F.col(col)), F.lit(n)).cast("int")
+    return name, F.col(col)
+
 
 def _field_id(f) -> int | None:
     return (f.metadata or {}).get("field_id")
@@ -141,12 +169,17 @@ class Table:
             raise FileExistsError(f"table already exists at {root}")
         partition_spec = list(partition_spec or [])
         names = set(schema.fieldNames())
+        seen_fields: set[str] = set()
         for p in partition_spec:
-            if p not in names:
-                raise ValueError(f"partition column {p!r} not in schema")
-            if schema[p].dataType.typeName() in ("array", "map", "struct", "binary"):
+            field, src, transform, _n = parse_partition_field(p)
+            if src not in names:
+                raise ValueError(f"partition column {src!r} not in schema")
+            if field in seen_fields or field in names and transform != "identity":
+                raise ValueError(f"duplicate partition field name {field!r}")
+            seen_fields.add(field)
+            if schema[src].dataType.typeName() in ("array", "map", "struct", "binary"):
                 # reference: data_contract_manager.py:148-163 — no complex partitions
-                raise ValueError(f"partition column {p!r} may not be a complex/binary type")
+                raise ValueError(f"partition column {src!r} may not be a complex/binary type")
         schema, last_fid = _with_field_ids(schema)
         meta = TableMetadata(
             table_uuid=uuid.uuid4().hex,
@@ -312,8 +345,13 @@ class Table:
                 raise KeyError(f"no column {old!r}")
             if new in names:
                 raise ValueError(f"column {new!r} already exists")
-            if old in meta.partition_spec:
-                meta.partition_spec = [new if p == old else p for p in meta.partition_spec]
+            def fix_spec(p: str) -> str:
+                fname, src, transform, n = parse_partition_field(p)
+                if src != old:
+                    return p
+                return new if transform == "identity" else f"bucket({new}, {n})"
+
+            meta.partition_spec = [fix_spec(p) for p in meta.partition_spec]
             return [
                 StructField(new, f.dataType, f.nullable, f.metadata) if f.name == old else f
                 for f in fields
@@ -419,9 +457,11 @@ class Table:
         spec = meta.partition_spec
         schema = meta.schema
         staging = os.path.join(self.root, "_staging", uuid.uuid4().hex)
+        pfields = [partition_field_expr(p) for p in spec]
+        pnames = [name for name, _ in pfields]
         writer_df = df
-        for p in spec:
-            writer_df = writer_df.withColumn(_LAYOUT_PREFIX + p, F.col(p))
+        for name, expr in pfields:
+            writer_df = writer_df.withColumn(_LAYOUT_PREFIX + name, expr)
         if target_file_count:
             if sort_within:
                 # Range-partition + sort on the cluster key: each output file
@@ -437,11 +477,11 @@ class Table:
         # space-filling-curve index not in the schema) order the rows but
         # are not written; narrow projection preserves within-partition order.
         writer_df = writer_df.select(
-            *schema.fieldNames(), *[_LAYOUT_PREFIX + p for p in spec]
+            *schema.fieldNames(), *[_LAYOUT_PREFIX + n for n in pnames]
         )
         if spec:
             writer = writer_df.write.mode("overwrite").partitionBy(
-                *[_LAYOUT_PREFIX + p for p in spec]
+                *[_LAYOUT_PREFIX + n for n in pnames]
             )
         else:
             writer = writer_df.write.mode("overwrite")
@@ -449,6 +489,12 @@ class Table:
 
         # Move part files into data/, preserving layout dirs; parse partition
         # values from the layout dir names for manifest entries.
+        field_types = {}
+        for p in spec:
+            fname, src_col, transform, _n = parse_partition_field(p)
+            field_types[fname] = (
+                IntegerType() if transform == "bucket" else schema[src_col].dataType
+            )
         rels: list[str] = []
         partitions: dict[str, dict[str, Any]] = {}
         for dirpath, _dirs, fnames in os.walk(staging):
@@ -464,7 +510,7 @@ class Table:
                     if "=" in seg and seg.startswith(_LAYOUT_PREFIX):
                         k, v = seg.split("=", 1)
                         col = k[len(_LAYOUT_PREFIX):]
-                        pvals[col] = _cast_partition_value(v, schema[col].dataType)
+                        pvals[col] = _cast_partition_value(v, field_types[col])
                         clean_parts.append(f"{col}={v}")
                     else:
                         clean_parts.append(seg)
@@ -698,8 +744,13 @@ class Table:
             df = spark.createDataFrame([], schema)
         else:
             df = self._read_aligned(spark, kept, schema, meta)
+        names = set(schema.fieldNames())
         for flt in filters or []:
-            df = df.filter(_to_column(flt))
+            # synthetic partition fields (bucket(...)) exist only in the
+            # layout, never in file data; partition pruning is exact at
+            # file granularity for them, so no residual filter applies
+            if flt[0] in names:
+                df = df.filter(_to_column(flt))
         if columns:
             df = df.select(*columns)
         return df

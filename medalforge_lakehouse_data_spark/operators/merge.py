@@ -126,11 +126,29 @@ def merge_into(
     #     only tier that helps when the merge key is uniform per file,
     #     e.g. image_id after the table was clustered by phash
     #     (round-1 VERDICT #3: trickle merges rewrote 32/32 files)
+    #  0. partition-level: a bucket(key, N) transform in the partition spec
+    #     reduces the candidate set to the buckets the source keys hash
+    #     into — the Iceberg-style answer for uniform merge keys; the
+    #     bucket expression is shared with the write path bit-for-bit
+    from medalforge_lakehouse_data_spark.format.table import parse_partition_field
+
     k0 = keys[0]
+    plan_filters: list = []
+    for p in table.partition_spec:
+        fname, src_col, transform, n = parse_partition_field(p)
+        if transform == "bucket" and src_col in keys:
+            bkts = sorted(
+                r[0]
+                for r in source.select(
+                    F.pmod(F.xxhash64(F.col(src_col)), F.lit(n)).cast("int").alias("b")
+                ).distinct().collect()
+                if r[0] is not None
+            )
+            if bkts:
+                plan_filters.append((fname, "in", tuple(bkts)))
     b = source.agg(F.min(k0).alias("mn"), F.max(k0).alias("mx")).collect()[0]
-    affected, prune_metrics = table.plan_files(
-        filters=[(k0, "between", (b["mn"], b["mx"]))]
-    )
+    plan_filters.append((k0, "between", (b["mn"], b["mx"])))
+    affected, prune_metrics = table.plan_files(filters=plan_filters)
     if 0 < src_count <= MERGE_KEY_COLLECT_LIMIT:
         from medalforge_lakehouse_data_spark.format.bloom import hash_values
 

@@ -287,3 +287,36 @@ def test_merge_conditional_update_with_target_reference(spark, simple_table):
     rows = {r.k: r.val for r in t.scan(spark).collect()}
     assert rows[5] == "old_5"       # 'a_smaller' < 'old_5' → no update
     assert rows[6] == "zzz_bigger"  # 'zzz_bigger' > 'old_6' → updated
+
+
+def test_bucket_partition_spec_merge_pruning(spark, tmp_path):
+    """bucket(key, N) in the partition spec: trickle merges touch only
+    the buckets the source keys hash into — the partition-level answer
+    for uniform merge keys (complementary to per-file blooms)."""
+    t = Table.create(str(tmp_path / "t"), UNIFORM,
+                     partition_spec=["bucket(id, 8)"])
+    df = spark.createDataFrame([(i, i % 4, f"v{i}") for i in range(4000)], UNIFORM)
+    t.append(spark, df, target_file_count=2, sort_within=["grp"])
+    entries = t.files()
+    assert all("id_bucket" in e.partition for e in entries)
+    assert len({e.partition["id_bucket"] for e in entries}) == 8
+
+    src = spark.createDataFrame([(7, 3, "new7"), (123, 3, "new123")], UNIFORM)
+    m = merge_into(t, src, ["id"], spark)
+    # ≤ 2 buckets hit → at most 2/8 of the partitions' files rewritten
+    assert m["affected_files"] <= m["files_total"] * 2 / 8 + 1, m
+    rows = {r.id: r.val for r in t.scan(spark).collect()}
+    assert rows[7] == "new7" and rows[123] == "new123" and rows[8] == "v8"
+    assert len(rows) == 4000
+
+    # scans: filter on the synthetic field prunes partitions exactly;
+    # filter on the source column still row-filters correctly
+    mx: dict = {}
+    got = t.scan(spark, filters=[("id_bucket", "=", entries[0].partition["id_bucket"])],
+                 metrics_out=mx)
+    assert mx["files_kept"] < mx["files_total"]
+    assert got.count() > 0
+    assert t.scan(spark, filters=[("id", "=", 7)]).count() == 1
+
+    with pytest.raises(ValueError, match="not in schema"):
+        Table.create(str(tmp_path / "bad"), UNIFORM, partition_spec=["bucket(nope, 4)"])
