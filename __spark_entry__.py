@@ -398,6 +398,33 @@ def q_merge_delete(spark, sf):
     return _merge_fixture(spark, sf, "delete", None)
 
 
+def q_merge_conditional(spark, sf):
+    """Conditional MERGE: WHEN MATCHED AND s.o_custkey % 2 = 0 THEN
+    UPDATE SET price = s.price (column-subset update); WHEN NOT MATCHED
+    THEN INSERT. Oracle mirrors it with a LEFT JOIN + CASE."""
+    from medalforge_lakehouse_data_spark.format.table import Table
+    from medalforge_lakehouse_data_spark.operators.merge import merge_into
+
+    o = _t(spark, sf, "orders")
+    target_df = o.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_custkey", F.col("o_totalprice").cast("decimal(18,2)").alias("price")
+    )
+    source_df = o.filter(F.col("o_orderkey") % 3 == 0).select(
+        "o_orderkey", "o_custkey",
+        (F.col("o_totalprice").cast("decimal(18,2)") + F.lit(1).cast("decimal(18,2)"))
+        .cast("decimal(18,2)").alias("price"),
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        t = Table.create(os.path.join(tmp, "t"), target_df.schema)
+        t.append(spark, target_df, target_file_count=8, sort_within=["o_orderkey"])
+        merge_into(t, source_df, ["o_orderkey"], spark,
+                   matched_condition="s.o_custkey % 2 = 0",
+                   update_columns=["price"])
+        out = t.scan(spark).select("o_orderkey", "o_custkey", _dbl("price", 2))
+        out = spark.createDataFrame(out.collect(), out.schema)
+    return out
+
+
 # ---------------------------------------------------------------------------
 # Training-data ops over documents/embeddings
 
@@ -647,6 +674,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "check_split": q_check_split,
         "merge_upsert": q_merge_upsert,
         "merge_delete": q_merge_delete,
+        "merge_conditional": q_merge_conditional,
         "docs_token_stats": q_docs_token_stats,
         "docs_lang_id": q_docs_lang_id,
         "docs_exact_dedup": q_docs_exact_dedup,
@@ -869,6 +897,25 @@ def oracle_sql() -> dict[str, str]:
               SELECT t.* FROM target t ANTI JOIN source s ON t.o_orderkey = s.o_orderkey)
             SELECT o_orderkey, o_custkey, round(cast(price as double), 2) AS price
             FROM merged
+        """,
+        "merge_conditional": """
+            WITH target AS (
+              SELECT o_orderkey, o_custkey,
+                     cast(o_totalprice as decimal(18,2)) AS price
+              FROM orders WHERE o_orderkey % 2 = 0),
+            source AS (
+              SELECT o_orderkey, o_custkey,
+                     cast(cast(o_totalprice as decimal(18,2))
+                          + cast(1 as decimal(18,2)) as decimal(18,2)) AS price
+              FROM orders WHERE o_orderkey % 3 = 0)
+            SELECT t.o_orderkey, t.o_custkey,
+                   round(cast(CASE WHEN s.o_orderkey IS NOT NULL
+                                    AND s.o_custkey % 2 = 0
+                              THEN s.price ELSE t.price END as double), 2) AS price
+            FROM target t LEFT JOIN source s ON t.o_orderkey = s.o_orderkey
+            UNION ALL
+            SELECT s.o_orderkey, s.o_custkey, round(cast(s.price as double), 2) AS price
+            FROM source s ANTI JOIN target t ON s.o_orderkey = t.o_orderkey
         """,
         "merge_delete": """
             WITH target AS (

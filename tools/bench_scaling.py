@@ -91,17 +91,27 @@ def worker(cpus: int) -> dict:
         t_cluster = time.monotonic() - t0
 
         t0 = time.monotonic()
-        # decode is CPU-dense relative to bytes: Spark's file-bin packing
-        # (maxPartitionBytes/openCost) would coalesce the small clustered
-        # files into ~3 input splits; spread the UDF work across all cores
-        scan = t.scan(spark).repartition(cpus * 4)
-        v = with_verification(scan).select(
-            F.sum(F.when(F.col("_decodable") & (F.col("_phash_check") == F.col("phash")), 1)
-                  .otherwise(0)).alias("ok"),
-            F.count("*").alias("n"),
-        ).collect()[0]
-        # repartition() of binary rows costs a shuffle; at real scale you'd
-        # instead set spark.sql.files.maxPartitionBytes low for UDF scans
+        # CPU-dense decode over ~65 small clustered files: the default
+        # 128MB/4MB file binning packs them into 1-3 input splits, which
+        # serializes the read at BOTH cluster sizes (measured: 98 MB scan
+        # 44 s on 1-3 cores vs 3 s parallel). One-file-per-split FOR THIS
+        # SCAN ONLY (runtime conf; the fine binning hurts the cluster
+        # stage's sample+range passes, so it is not session-wide) — no
+        # repartition shuffle of ~100 MB binary rows in the measured path.
+        prev_mpb = spark.conf.get("spark.sql.files.maxPartitionBytes")
+        prev_oc = spark.conf.get("spark.sql.files.openCostInBytes")
+        spark.conf.set("spark.sql.files.maxPartitionBytes", str(2 * 1024 * 1024))
+        spark.conf.set("spark.sql.files.openCostInBytes", str(64 * 1024))
+        try:
+            scan = t.scan(spark)
+            v = with_verification(scan).select(
+                F.sum(F.when(F.col("_decodable") & (F.col("_phash_check") == F.col("phash")), 1)
+                      .otherwise(0)).alias("ok"),
+                F.count("*").alias("n"),
+            ).collect()[0]
+        finally:
+            spark.conf.set("spark.sql.files.maxPartitionBytes", prev_mpb)
+            spark.conf.set("spark.sql.files.openCostInBytes", prev_oc)
         t_verify = time.monotonic() - t0
         assert v.ok == v.n == ROWS + 0, (v.ok, v.n)
         total_bytes = t.metadata().current_snapshot().summary["total_bytes"]
