@@ -97,7 +97,13 @@ class DataFile:
     dicts, see format/bloom.py) for merge-key pruning when min/max
     ranges are useless (uniform keys after clustering on another key).
     ``cluster`` marks files laid out by a clustering job ({"curve":...,
-    "columns": [...]}) so incremental clustering can skip them."""
+    "columns": [...]}) so incremental clustering can skip them.
+
+    Merge-on-read (Iceberg-v2-style equality deletes): ``content`` is
+    "data" or "deletes"; a deletes file holds rows of ``delete_keys``
+    columns and applies to every data file whose ``seq`` (the snapshot
+    id of the commit that added it) is STRICTLY LOWER than the delete
+    file's — data appended in the same or a later commit is unaffected."""
 
     path: str  # relative to table root
     rows: int
@@ -107,6 +113,9 @@ class DataFile:
     blooms: dict[str, dict] = field(default_factory=dict)
     cluster: dict | None = None
     schema_version: int | None = None  # schema the file was written with
+    content: str = "data"  # data | deletes
+    seq: int | None = None  # snapshot id of the adding commit (None→0)
+    delete_keys: list[str] | None = None  # equality-delete key columns
 
     def to_json(self) -> dict:
         out = {
@@ -122,6 +131,12 @@ class DataFile:
             out["cluster"] = self.cluster
         if self.schema_version is not None:
             out["schema_version"] = self.schema_version
+        if self.content != "data":
+            out["content"] = self.content
+        if self.seq is not None:
+            out["seq"] = self.seq
+        if self.delete_keys is not None:
+            out["delete_keys"] = self.delete_keys
         return out
 
     @staticmethod
@@ -135,6 +150,9 @@ class DataFile:
             blooms=dict(d.get("blooms", {})),
             cluster=d.get("cluster"),
             schema_version=d.get("schema_version"),
+            content=d.get("content", "data"),
+            seq=d.get("seq"),
+            delete_keys=d.get("delete_keys"),
         )
 
 
@@ -344,7 +362,7 @@ def write_manifest(root: str, files: list[DataFile]) -> dict:
             if c not in seen:
                 fold(c, st.min, st.max)
     bounds = {c: v[:2] for c, v in acc.items() if v[2] == len(files)}
-    return {
+    out = {
         "path": rel,
         "files": len(files),
         "rows": sum(f.rows for f in files),
@@ -352,6 +370,12 @@ def write_manifest(root: str, files: list[DataFile]) -> dict:
         "bounds": {c: [encode_value(v[0]), encode_value(v[1])]
                    for c, v in bounds.items()},
     }
+    n_del = sum(1 for f in files if f.content == "deletes")
+    if n_del:
+        # manifests holding delete files are never skipped by bounds —
+        # equality deletes apply regardless of scan filters
+        out["delete_files"] = n_del
+    return out
 
 
 def read_manifest(root: str, entry) -> list[DataFile]:

@@ -387,7 +387,10 @@ class Table:
         write_json_atomic(os.path.join(self.root, "metadata", new_name), meta.to_json())
         _swap_pointer(self.root, new_name)
 
-    def files(self, snapshot_id: int | None = None) -> list[DataFile]:
+    def files(self, snapshot_id: int | None = None,
+              content: str | None = None) -> list[DataFile]:
+        """Manifest entries of a snapshot; ``content`` filters to "data"
+        or "deletes" (None = everything)."""
         meta = self.metadata()
         snap = (
             meta.current_snapshot()
@@ -399,7 +402,12 @@ class Table:
         out: list[DataFile] = []
         for m in snap.manifest_list:
             out.extend(read_manifest(self.root, m))
+        if content is not None:
+            out = [e for e in out if e.content == content]
         return out
+
+    def delete_files(self, snapshot_id: int | None = None) -> list[DataFile]:
+        return self.files(snapshot_id, content="deletes")
 
     # -- commit protocol ----------------------------------------------------
 
@@ -577,9 +585,11 @@ class Table:
                 ),
                 commit_key,
             )
-        new_manifest = write_manifest(self.root, entries)
 
         def build(meta: TableMetadata, sid: int):
+            for e in entries:
+                e.seq = sid  # merge-on-read: deletes apply to seq < theirs
+            new_manifest = write_manifest(self.root, entries)
             parent = meta.current_snapshot()
             manifests = list(parent.manifest_list) if parent else []
             manifests.append(new_manifest)
@@ -596,9 +606,11 @@ class Table:
             if prior is not None:
                 return prior
         entries = self._write_data_files(spark, df, target_file_count, sort_within)
-        new_manifest = write_manifest(self.root, entries) if entries else None
 
         def build(meta: TableMetadata, sid: int):
+            for e in entries:
+                e.seq = sid
+            new_manifest = write_manifest(self.root, entries) if entries else None
             removed = self.files(meta.current_snapshot_id) if meta.current_snapshot_id else []
             return ([new_manifest] if new_manifest else []), _summary(meta, entries, removed)
 
@@ -617,9 +629,12 @@ class Table:
         manifests are reused by reference — at scale only the affected
         metadata is rewritten, like Iceberg's rewrite-manifests."""
         removed = set(removed_paths)
-        new_manifest = write_manifest(self.root, added) if added else None
 
         def build(meta: TableMetadata, sid: int):
+            for e in added:
+                if e.seq is None:
+                    e.seq = sid
+            new_manifest = write_manifest(self.root, added) if added else None
             parent = meta.current_snapshot()
             manifests: list[str] = []
             removed_entries: list[DataFile] = []
@@ -643,6 +658,31 @@ class Table:
             if new_manifest:
                 manifests.append(new_manifest)
             summary = _summary(meta, added, removed_entries)
+            summary.update(extra_summary or {})
+            return manifests, summary
+
+        return self._commit(operation, build, commit_key)
+
+    def commit_new_entries(
+        self,
+        entries: list[DataFile],
+        operation: str = "append",
+        commit_key: str | None = None,
+        extra_summary: dict | None = None,
+    ) -> Snapshot:
+        """Commit already-written entries (data and/or delete files) as
+        one new manifest appended to the parent's list — the merge-on-
+        read commit shape (nothing removed, nothing rewritten)."""
+
+        def build(meta: TableMetadata, sid: int):
+            for e in entries:
+                if e.seq is None:
+                    e.seq = sid
+            man = write_manifest(self.root, entries)
+            parent = meta.current_snapshot()
+            manifests = list(parent.manifest_list) if parent else []
+            manifests.append(man)
+            summary = _summary(meta, entries, [])
             summary.update(extra_summary or {})
             return manifests, summary
 
@@ -678,22 +718,29 @@ class Table:
         flts = filters or []
         kept: list[DataFile] = []
         files_total = bytes_total = rows_total = opened = 0
+        deletes: list[DataFile] = []
         mlist = snap.manifest_list if snap else []
         for m in mlist:
             b = manifest_bounds(m)
-            if flts and b is not None and not _bounds_survive(b, flts):
-                # skipped without opening; counts from the list entry
+            has_deletes = not isinstance(m, str) and m.get("delete_files", 0) > 0
+            if flts and b is not None and not _bounds_survive(b, flts) and not has_deletes:
+                # skipped without opening; counts from the list entry.
+                # (manifests holding delete files are always opened —
+                # equality deletes apply regardless of scan filters)
                 files_total += m["files"]
                 bytes_total += m["bytes"]
                 rows_total += m["rows"]
                 continue
             entries = read_manifest(self.root, m)
             opened += 1
-            files_total += len(entries)
-            bytes_total += sum(e.bytes for e in entries)
-            rows_total += sum(e.rows for e in entries)
-            for e in entries:
-                if _survives(e, flts, spec):
+            data_entries = [e for e in entries if e.content == "data"]
+            deletes.extend(e for e in entries if e.content == "deletes")
+            files_total += len(data_entries)
+            bytes_total += sum(e.bytes for e in data_entries)
+            rows_total += sum(e.rows for e in data_entries)
+            skip_file_check = flts and b is not None and not _bounds_survive(b, flts)
+            for e in data_entries:
+                if not skip_file_check and _survives(e, flts, spec):
                     kept.append(e)
         metrics = {
             "files_total": files_total,
@@ -704,7 +751,14 @@ class Table:
             "rows_kept": sum(e.rows for e in kept),
             "manifests_total": len(mlist),
             "manifests_opened": opened,
+            "delete_files": len(deletes),
         }
+        # deletes that can affect NO kept file are dropped here (a delete
+        # only applies to data files with strictly lower seq)
+        if deletes and kept:
+            min_seq = min((e.seq or 0) for e in kept)
+            deletes = [d for d in deletes if (d.seq or 0) > min_seq]
+        metrics["_deletes"] = deletes if kept else []
         return kept, metrics
 
     def scan(
@@ -731,6 +785,7 @@ class Table:
             if snap is None:
                 return spark.createDataFrame([], self.schema)
         kept, metrics = self.plan_files(snapshot_id, filters)
+        deletes = metrics.pop("_deletes", [])
         if metrics_out is not None:
             metrics_out.update(metrics)
         meta = self.metadata()
@@ -743,7 +798,7 @@ class Table:
         if not kept:
             df = spark.createDataFrame([], schema)
         else:
-            df = self._read_aligned(spark, kept, schema, meta)
+            df = self._read_aligned(spark, kept, schema, meta, deletes=deletes)
         names = set(schema.fieldNames())
         for flt in filters or []:
             # synthetic partition fields (bucket(...)) exist only in the
@@ -755,25 +810,33 @@ class Table:
             df = df.select(*columns)
         return df
 
-    def read_entries(self, spark: SparkSession, entries: list[DataFile]) -> DataFrame:
+    def read_entries(self, spark: SparkSession, entries: list[DataFile],
+                     apply_deletes: bool = True) -> DataFrame:
         """Read specific manifest entries as the CURRENT schema, aligned
         by field id. Maintenance jobs (merge/compaction/clustering) MUST
         use this instead of spark.read.parquet on entry paths — a direct
         read with the current schema silently NULLs renamed columns in
-        files written under an older schema version."""
+        files written under an older schema version, and would resurrect
+        rows removed by merge-on-read delete files."""
         if not entries:
             return spark.createDataFrame([], self.schema)
         meta = self.metadata()
-        return self._read_aligned(spark, entries, meta.schema, meta)
+        deletes: list[DataFile] = []
+        if apply_deletes:
+            min_seq = min((e.seq or 0) for e in entries)
+            deletes = [d for d in self.delete_files() if (d.seq or 0) > min_seq]
+        return self._read_aligned(spark, entries, meta.schema, meta, deletes=deletes)
 
     def _read_aligned(self, spark, kept: list[DataFile], present: StructType,
-                      meta: TableMetadata) -> DataFrame:
+                      meta: TableMetadata, deletes: list[DataFile] | None = None) -> DataFrame:
         """Read file groups written under older schema versions and align
         them to ``present`` by field id: renamed columns re-alias, widened
         columns cast up, added columns backfill NULL. Single-version
-        tables take the direct-read fast path."""
+        tables take the direct-read fast path. Equality-delete files (if
+        any) are then anti-joined per their sequence rule."""
         from collections import defaultdict
 
+        deletes = deletes or []
         groups: dict[int | None, list[DataFile]] = defaultdict(list)
         for e in kept:
             groups[e.schema_version].append(e)
@@ -782,6 +845,9 @@ class Table:
             vschema = meta.schema_at(ver)
             paths = [os.path.join(self.root, e.path) for e in entries]
             df = spark.read.schema(vschema).parquet(*paths)
+            if deletes:
+                # per-row source file, for the seq-based delete rule
+                df = df.withColumn("__path", F.col("_metadata.file_path"))
             if vschema.jsonValue() != present.jsonValue():
                 by_id = {_field_id(f): f for f in vschema.fields}
                 sel = []
@@ -795,12 +861,80 @@ class Table:
                         sel.append(F.lit(None).cast(tf.dataType).alias(tf.name))
                     else:
                         sel.append(F.col(sf.name).cast(tf.dataType).alias(tf.name))
+                if deletes:
+                    sel.append(F.col("__path"))
                 df = df.select(*sel)
             parts.append(df)
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
+        if deletes:
+            out = self._apply_equality_deletes(spark, out, kept, deletes)
         return out
+
+    def _apply_equality_deletes(self, spark, df: DataFrame, kept: list[DataFile],
+                                deletes: list[DataFile]) -> DataFrame:
+        """Anti-join equality-delete files: a delete row removes data rows
+        with equal key values from files whose seq is STRICTLY lower than
+        the delete file's (same-commit and later appends unaffected)."""
+        from collections import defaultdict
+        from functools import reduce
+
+        # per-row data seq via the source file path (normalized to an
+        # absolute path on both sides — _metadata.file_path is a URI)
+        seq_rows = [(os.path.join(self.root, e.path), int(e.seq or 0)) for e in kept]
+        seq_df = spark.createDataFrame(seq_rows, ["__abs", "__seq"])
+        df = df.withColumn("__abs", F.regexp_replace("__path", "^file:/+", "/"))
+        df = df.join(F.broadcast(seq_df), "__abs", "left").drop("__path", "__abs")
+        df = df.withColumn("__seq", F.coalesce(F.col("__seq"), F.lit(0)))
+
+        by_keys: dict[tuple, list[DataFile]] = defaultdict(list)
+        for d in deletes:
+            by_keys[tuple(d.delete_keys or [])].append(d)
+        for keys, dels in by_keys.items():
+            if not keys:
+                continue
+            ddfs = []
+            for d in dels:
+                ddfs.append(
+                    spark.read.parquet(os.path.join(self.root, d.path))
+                    .select(*[F.col(k).alias(f"__dk{i}") for i, k in enumerate(keys)])
+                    .withColumn("__dseq", F.lit(int(d.seq or 0)))
+                )
+            ddf = ddfs[0]
+            for x in ddfs[1:]:
+                ddf = ddf.unionByName(x)
+            cond = reduce(
+                lambda a, b: a & b,
+                [df[k] == ddf[f"__dk{i}"] for i, k in enumerate(keys)],
+            ) & (ddf["__dseq"] > df["__seq"])
+            if sum(d.rows for d in dels) <= 2_000_000:
+                ddf = F.broadcast(ddf)
+            df = df.join(ddf, on=cond, how="left_anti")
+        return df.drop("__seq")
+
+    def _write_delete_files(self, spark: SparkSession, keys_df: DataFrame,
+                            key_cols: list[str], n_files: int = 1) -> list[DataFile]:
+        """Write equality-delete files (rows = key values to delete) and
+        return their manifest entries (content='deletes', seq stamped at
+        commit). Small by construction — one file unless told otherwise."""
+        staging = os.path.join(self.root, "_staging", uuid.uuid4().hex)
+        keys_df.select(*key_cols).coalesce(n_files).write.mode("overwrite").parquet(staging)
+        rels = []
+        for fn in os.listdir(staging):
+            if not fn.endswith(".parquet"):
+                continue
+            rel = os.path.join("data", "_deletes", f"{uuid.uuid4().hex[:12]}-{fn}")
+            abs_dest = os.path.join(self.root, rel)
+            os.makedirs(os.path.dirname(abs_dest), exist_ok=True)
+            os.replace(os.path.join(staging, fn), abs_dest)
+            rels.append(rel)
+        shutil.rmtree(staging, ignore_errors=True)
+        entries = collect_entries(self.root, rels, stat_columns=list(key_cols))
+        for e in entries:
+            e.content = "deletes"
+            e.delete_keys = list(key_cols)
+        return entries
 
 
 def _bounds_survive(bounds: dict, filters: list[Filter]) -> bool:
@@ -900,17 +1034,27 @@ def _summary(meta: TableMetadata, added: list[DataFile], removed: list[DataFile]
     prev_rows = parent.summary.get("total_rows", 0) if parent else 0
     prev_files = parent.summary.get("total_files", 0) if parent else 0
     prev_bytes = parent.summary.get("total_bytes", 0) if parent else 0
-    return {
-        "added_files": len(added),
-        "added_rows": sum(e.rows for e in added),
-        "added_bytes": sum(e.bytes for e in added),
-        "removed_files": len(removed),
-        "removed_rows": sum(e.rows for e in removed),
-        "removed_bytes": sum(e.bytes for e in removed),
-        "total_rows": prev_rows + sum(e.rows for e in added) - sum(e.rows for e in removed),
-        "total_files": prev_files + len(added) - len(removed),
-        "total_bytes": prev_bytes + sum(e.bytes for e in added) - sum(e.bytes for e in removed),
+    # deletes files are tracked separately: their "rows" are delete KEYS,
+    # not table rows (total_rows under merge-on-read is an upper bound
+    # until compaction applies the deletes — same caveat as Iceberg v2)
+    a = [e for e in added if e.content == "data"]
+    r = [e for e in removed if e.content == "data"]
+    out = {
+        "added_files": len(a),
+        "added_rows": sum(e.rows for e in a),
+        "added_bytes": sum(e.bytes for e in a),
+        "removed_files": len(r),
+        "removed_rows": sum(e.rows for e in r),
+        "removed_bytes": sum(e.bytes for e in r),
+        "total_rows": prev_rows + sum(e.rows for e in a) - sum(e.rows for e in r),
+        "total_files": prev_files + len(a) - len(r),
+        "total_bytes": prev_bytes + sum(e.bytes for e in a) - sum(e.bytes for e in r),
     }
+    n_del = sum(1 for e in added if e.content == "deletes")
+    if n_del:
+        out["added_delete_files"] = n_del
+        out["added_delete_rows"] = sum(e.rows for e in added if e.content == "deletes")
+    return out
 
 
 def _swap_pointer(root: str, version_name: str) -> None:

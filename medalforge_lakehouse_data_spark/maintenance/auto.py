@@ -67,7 +67,8 @@ def maybe_maintain(
     out["appends_since_compact"] = n_appends
     if n_appends < policy.compact_after_appends:
         return out
-    small = [e for e in table.files() if e.bytes < policy.small_file_bytes]
+    small = [e for e in table.files(content="data")
+             if e.bytes < policy.small_file_bytes]
     out["small_files"] = len(small)
     if len(small) < policy.min_small_files:
         return out

@@ -117,7 +117,7 @@ def cluster_rewrite(
     is recorded in table properties so MERGE can preserve the layout."""
     t0 = time.monotonic()
     job_id = job_id or f"cluster-{int(time.time())}"
-    all_files = table.files(snapshot_id)
+    all_files = table.files(snapshot_id, content="data")
     tag = {"curve": curve, "columns": list(columns)}
     if mode == "incremental":
         files = [e for e in all_files if e.cluster != tag]
@@ -173,8 +173,14 @@ def cluster_rewrite(
         "cluster.columns": ",".join(columns),
         "cluster.target-file-bytes": str(target_file_bytes),
     })
+    # a FULL rewrite replaces every data file; the scan that produced the
+    # rows applied all equality deletes, so the delete files are spent —
+    # drop them in the same atomic commit (merge-on-read cleanup)
+    removed_paths = [e.path for e in files]
+    if mode == "full" or len(files) == len(all_files):
+        removed_paths += [d.path for d in table.delete_files(snapshot_id)]
     snap = table.rewrite_files(
-        [e.path for e in files],
+        removed_paths,
         added,
         operation="cluster",
         commit_key=f"{job_id}:rewrite",

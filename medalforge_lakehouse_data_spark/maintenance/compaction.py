@@ -54,7 +54,7 @@ def plan_compaction(
     compaction reduces file count are included."""
     min_file_bytes = min_file_bytes or int(target_file_bytes * 0.75)
     by_part: dict[tuple, list[DataFile]] = {}
-    for e in table.files(snapshot_id):
+    for e in table.files(snapshot_id, content="data"):
         if e.bytes < min_file_bytes:
             key = tuple(sorted(e.partition.items()))
             by_part.setdefault(key, []).append(e)
@@ -117,6 +117,24 @@ def compact(
         metrics["files_out"] += len(added)
         metrics["bytes_in"] += nbytes
         metrics["rows"] += rows
+    # obsolete-delete GC: read_entries applied every relevant equality
+    # delete to the rewritten rows, and rewritten files carry NEW seqs —
+    # a delete file whose seq is <= every live data file's seq can no
+    # longer remove anything and is dropped (merge-on-read cleanup)
+    data = table.files(content="data")
+    dels = table.delete_files()
+    if dels and data:
+        min_seq = min((e.seq or 0) for e in data)
+        obsolete = [d for d in dels if (d.seq or 0) <= min_seq]
+        if obsolete:
+            table.rewrite_files(
+                [d.path for d in obsolete], [],
+                operation="drop-deletes",
+                commit_key=f"{job_id}:drop-deletes",
+                extra_summary={"job_id": job_id,
+                               "dropped_delete_files": len(obsolete)},
+            )
+            metrics["dropped_delete_files"] = len(obsolete)
     dt = time.monotonic() - t0
     metrics["seconds"] = dt
     metrics["gb_per_min"] = (metrics["bytes_in"] / 1e9) / (dt / 60) if dt > 0 else 0.0

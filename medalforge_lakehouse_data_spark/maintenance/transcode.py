@@ -36,6 +36,9 @@ def transcode_rewrite(
 ) -> dict:
     t0 = time.monotonic()
     job_id = job_id or f"transcode-{int(time.time())}"
+    # full rewrite: every data file is replaced AND, since table.scan
+    # already applied any equality deletes to the rows, the spent delete
+    # files are removed in the same commit
     files = table.files(snapshot_id)
     if not files:
         return {"job_id": job_id, "rows": 0, "files_in": 0}

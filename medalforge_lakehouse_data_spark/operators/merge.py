@@ -70,6 +70,7 @@ def merge_into(
     check_unique_keys: bool = True,
     matched_condition: str | None = None,
     update_columns: list[str] | None = None,
+    strategy: str = "copy-on-write",
 ) -> dict:
     """Execute MERGE; returns metrics dict with snapshot id and counts.
 
@@ -79,6 +80,15 @@ def merge_into(
     the condition stay unchanged. ``update_columns``: restrict the
     UPDATE to a column subset (``UPDATE SET col = s.col, ...``); other
     columns keep their target values. Inserts are unaffected by both.
+
+    ``strategy``: "copy-on-write" (default — affected files rewritten;
+    best read performance) or "merge-on-read" — the commit writes ONLY
+    an equality-delete file of the source keys plus the new data rows,
+    touching zero existing files. At 10^12 rows this turns a 5%%
+    uniform-key merge from a near-full-table rewrite into O(source)
+    work; scans anti-join the delete files until compaction folds them
+    in. Conditional clauses require reading matched target rows and are
+    copy-on-write only.
     """
     if when_matched not in ("update", "delete", None):
         raise ValueError(f"when_matched must be update|delete|None, got {when_matched}")
@@ -88,6 +98,10 @@ def merge_into(
         raise ValueError("matched_condition/update_columns need a WHEN MATCHED clause")
     if update_columns and when_matched != "update":
         raise ValueError("update_columns only applies to when_matched='update'")
+    if strategy not in ("copy-on-write", "merge-on-read"):
+        raise ValueError(f"strategy must be copy-on-write|merge-on-read, got {strategy}")
+    if strategy == "merge-on-read" and (matched_condition or update_columns):
+        raise ValueError("conditional/subset clauses are copy-on-write only")
     t0 = time.monotonic()
     schema = table.schema
     cols = schema.fieldNames()
@@ -115,6 +129,12 @@ def merge_into(
     if src_count == 0:
         # reference: emptiness probe short-circuits (merge.py:151-152)
         return {"snapshot_id": table.current_snapshot_id(), "noop": True}
+
+    if strategy == "merge-on-read":
+        out = _merge_on_read(table, source, keys, spark, when_matched,
+                             when_not_matched, commit_key, src_count, cols, t0)
+        source.unpersist()
+        return out
 
     # ---- prune affected target files (metadata only), three tiers:
     #  1. global source key-range vs per-file min/max (always; one agg)
@@ -226,6 +246,57 @@ def merge_into(
     )
     source.unpersist()
     return out
+
+
+def _merge_on_read(table, source, keys, spark, when_matched, when_not_matched,
+                   commit_key, src_count, cols, t0) -> dict:
+    """MERGE without rewriting any existing file: one equality-delete
+    file of the source keys (matched rows vanish at read time for data
+    files with lower seq) + one append of the new row versions. The only
+    target read is a keys-only projection, and only for the variants
+    whose insert/append set depends on matched-ness."""
+    import math
+
+    added = []
+    n_del = 0
+    if when_matched in ("update", "delete"):
+        dkeys = source.select(*keys).distinct()
+        n_files = max(1, math.ceil(src_count / 5_000_000))
+        dels = table._write_delete_files(spark, dkeys, keys, n_files=n_files)
+        added += dels
+        n_del = sum(e.rows for e in dels)
+    rows_df = None
+    if when_not_matched == "insert":
+        if when_matched == "update":
+            rows_df = source  # delete+insert of every source row = upsert
+        else:
+            tkeys = table.scan(spark, columns=keys).distinct()
+            rows_df = source.join(tkeys, keys, "left_anti")
+    elif when_matched == "update":
+        tkeys = table.scan(spark, columns=keys).distinct()
+        rows_df = source.join(tkeys, keys, "left_semi")
+    if rows_df is not None:
+        props = table.metadata().properties
+        rows_per_file = int(props.get("write.target-rows-per-file", 1_000_000))
+        n_out = max(1, math.ceil(src_count / max(1, rows_per_file)))
+        added += table._write_data_files(spark, rows_df.select(*cols),
+                                         target_file_count=n_out)
+    snap = table.commit_new_entries(
+        added, operation="merge",
+        commit_key=commit_key or f"merge-{uuid.uuid4().hex}",
+        extra_summary={"merge_keys": keys, "source_rows": src_count,
+                       "strategy": "merge-on-read"},
+    )
+    return {
+        "snapshot_id": snap.snapshot_id,
+        "source_rows": src_count,
+        "affected_files": 0,
+        "files_total": snap.summary.get("total_files", 0),
+        "added_files": sum(1 for e in added if e.content == "data"),
+        "delete_rows": n_del,
+        "strategy": "merge-on-read",
+        "seconds": time.monotonic() - t0,
+    }
 
 
 def _conditional_merge_rows(
