@@ -367,7 +367,7 @@ def q_check_split(spark, sf):
 # MERGE INTO (the real table-format path, oracle-checked)
 
 
-def _merge_fixture(spark, sf, when_matched, when_not_matched):
+def _merge_fixture(spark, sf, when_matched, when_not_matched, strategy="copy-on-write"):
     from medalforge_lakehouse_data_spark.format.table import Table
     from medalforge_lakehouse_data_spark.operators.merge import merge_into
 
@@ -384,7 +384,8 @@ def _merge_fixture(spark, sf, when_matched, when_not_matched):
         t = Table.create(os.path.join(tmp, "t"), target_df.schema)
         t.append(spark, target_df, target_file_count=8, sort_within=["o_orderkey"])
         merge_into(t, source_df, ["o_orderkey"], spark,
-                   when_matched=when_matched, when_not_matched=when_not_matched)
+                   when_matched=when_matched, when_not_matched=when_not_matched,
+                   strategy=strategy)
         out = t.scan(spark).select("o_orderkey", "o_custkey", _dbl("price", 2))
         out = spark.createDataFrame(out.collect(), out.schema)  # materialize before tmp cleanup
     return out
@@ -396,6 +397,17 @@ def q_merge_upsert(spark, sf):
 
 def q_merge_delete(spark, sf):
     return _merge_fixture(spark, sf, "delete", None)
+
+
+def q_merge_mor_upsert(spark, sf):
+    """Merge-on-read upsert: equality-delete file + appended versions,
+    zero rewritten files. Must produce the SAME row set as the
+    copy-on-write upsert — the oracle SQL is shared verbatim."""
+    return _merge_fixture(spark, sf, "update", "insert", strategy="merge-on-read")
+
+
+def q_merge_mor_delete(spark, sf):
+    return _merge_fixture(spark, sf, "delete", None, strategy="merge-on-read")
 
 
 def q_merge_conditional(spark, sf):
@@ -675,6 +687,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "merge_upsert": q_merge_upsert,
         "merge_delete": q_merge_delete,
         "merge_conditional": q_merge_conditional,
+        "merge_mor_upsert": q_merge_mor_upsert,
+        "merge_mor_delete": q_merge_mor_delete,
         "docs_token_stats": q_docs_token_stats,
         "docs_lang_id": q_docs_lang_id,
         "docs_exact_dedup": q_docs_exact_dedup,
@@ -727,7 +741,7 @@ _STOPWORD_VALUES = """(values
 
 
 def oracle_sql() -> dict[str, str]:
-    return {
+    out = {
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    round(cast(sum(cast(l_quantity as decimal(18,2))) as double), 2) AS sum_qty,
@@ -1062,3 +1076,8 @@ def oracle_sql() -> dict[str, str]:
         # rows-only (engine-internal table format / codec):
         # maintenance_roundtrip, images_verification
     }
+    # merge-on-read must land on the SAME row set as copy-on-write —
+    # identical oracles make the driver check that equivalence directly
+    out["merge_mor_upsert"] = out["merge_upsert"]
+    out["merge_mor_delete"] = out["merge_delete"]
+    return out

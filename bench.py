@@ -162,6 +162,24 @@ def bench_maintenance(spark, timings: dict, extra: dict) -> None:
             f"{tmm['affected_files']}/{tmm['files_total']}"
         )
 
+        # MERGE-ON-READ: same 5% update + 1% insert shape as the big
+        # copy-on-write merge, but committing an equality-delete file +
+        # appended versions — zero existing files rewritten (the 10^12-row
+        # path). Post-merge scan timing shows the read-side anti-join tax.
+        upd2 = images_df(spark, IMAGE_ROWS // 20, seed=99).withColumn(
+            "caption", F.concat(F.lit("v4 "), F.col("caption"))
+        )
+        ins2 = images_df(spark, IMAGE_ROWS // 100, seed=99, id_offset=90_000_000)
+        t0 = time.monotonic()
+        mor = merge_into(t, upd2.unionByName(ins2), ["image_id"], spark,
+                         commit_key="bench-merge-mor", strategy="merge-on-read")
+        timings["maint_merge_mor"] = round(time.monotonic() - t0, 3)
+        extra["merge_mor_rewritten_files"] = mor["affected_files"]
+        t0 = time.monotonic()
+        n_after = t.scan(spark).count()
+        timings["scan_post_mor"] = round(time.monotonic() - t0, 3)
+        assert n_after == IMAGE_ROWS + IMAGE_ROWS // 100 * 2, n_after
+
 
 def main():
     from medalforge_lakehouse_data_spark.session import get_spark
