@@ -289,6 +289,29 @@ def write_json_atomic(path: str, payload: dict) -> None:
     os.replace(tmp, path)
 
 
+def write_json_exclusive(path: str, payload: dict) -> bool:
+    """Atomically create ``path`` with ``payload`` IFF it does not exist.
+
+    This is the optimistic-commit CAS primitive: the v<N+1>.metadata.json
+    slot is claimed by exactly one writer (os.link of a fully-written,
+    fsynced temp file is atomic and fails with EEXIST for losers — the
+    file is never observable half-written). Returns False when another
+    writer holds the slot."""
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    tmp = f"{path}.tmp.{uuid.uuid4().hex}"
+    with open(tmp, "w") as f:
+        json.dump(payload, f, separators=(",", ":"))
+        f.flush()
+        os.fsync(f.fileno())
+    try:
+        os.link(tmp, path)
+        return True
+    except FileExistsError:
+        return False
+    finally:
+        os.unlink(tmp)
+
+
 def read_json(path: str) -> dict:
     with open(path) as f:
         return json.load(f)

@@ -93,30 +93,43 @@ def compact(
         "skipped_units": 0,
     }
     schema = table.schema
-    for key, bins in sorted(plan.items()):
-        unit = "part:" + ",".join(f"{k}={v}" for k, v in key) if key else "part:_all"
-        files = [f for b in bins for f in b]
-        if ckpt.is_done(unit):
-            metrics["skipped_units"] += 1
-            continue
-        ckpt.mark(unit, "running", files=len(files))
-        # schema-evolution-safe: aligns files written under older versions
-        df = table.read_entries(spark, files)
-        added = table._write_data_files(spark, df, target_file_count=len(bins))
-        table.rewrite_files(
-            [f.path for f in files],
-            added,
-            operation="compact",
-            commit_key=f"{job_id}:{unit}",
-            extra_summary={"job_id": job_id},
-        )
-        rows = sum(e.rows for e in added)
-        nbytes = sum(f.bytes for f in files)
-        ckpt.mark_done(unit, files=len(files), files_out=len(added), rows=rows, bytes=nbytes)
-        metrics["files_in"] += len(files)
-        metrics["files_out"] += len(added)
-        metrics["bytes_in"] += nbytes
-        metrics["rows"] += rows
+    # Small-file reads: compaction input is MANY tiny files by definition;
+    # Spark's default 128MB/4MB file binning packs them into a handful of
+    # input splits, serializing the read that feeds the rewrite shuffle
+    # (measured: the compact stage capped at ~1.4x of 4x core scaling).
+    # Scope a fine-grained split conf to this job only.
+    prev_mpb = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    prev_oc = spark.conf.get("spark.sql.files.openCostInBytes")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", str(8 * 1024 * 1024))
+    spark.conf.set("spark.sql.files.openCostInBytes", str(256 * 1024))
+    try:
+        for key, bins in sorted(plan.items()):
+            unit = "part:" + ",".join(f"{k}={v}" for k, v in key) if key else "part:_all"
+            files = [f for b in bins for f in b]
+            if ckpt.is_done(unit):
+                metrics["skipped_units"] += 1
+                continue
+            ckpt.mark(unit, "running", files=len(files))
+            # schema-evolution-safe: aligns files written under older versions
+            df = table.read_entries(spark, files)
+            added = table._write_data_files(spark, df, target_file_count=len(bins))
+            table.rewrite_files(
+                [f.path for f in files],
+                added,
+                operation="compact",
+                commit_key=f"{job_id}:{unit}",
+                extra_summary={"job_id": job_id},
+            )
+            rows = sum(e.rows for e in added)
+            nbytes = sum(f.bytes for f in files)
+            ckpt.mark_done(unit, files=len(files), files_out=len(added), rows=rows, bytes=nbytes)
+            metrics["files_in"] += len(files)
+            metrics["files_out"] += len(added)
+            metrics["bytes_in"] += nbytes
+            metrics["rows"] += rows
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", prev_mpb)
+        spark.conf.set("spark.sql.files.openCostInBytes", prev_oc)
     # obsolete-delete GC: read_entries applied every relevant equality
     # delete to the rewritten rows, and rewritten files carry NEW seqs —
     # a delete file whose seq is <= every live data file's seq can no

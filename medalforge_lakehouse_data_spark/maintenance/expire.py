@@ -11,8 +11,10 @@ relies on Delta VACUUM (not available OSS). Algorithm:
      older than ``grace_s`` (grace protects in-flight uncommitted
      writes), plus stale _staging directories.
 
-Metadata history is rewritten in a new metadata version under the
-commit lock, so expiry serializes with writers."""
+Metadata history is rewritten FIRST via the optimistic CAS commit (so
+expiry serializes with writers lock-free), then the sweep runs against
+the post-expiry reachability set; concurrent writers' fresh files are
+protected by grace_s at all times."""
 
 from __future__ import annotations
 
@@ -21,12 +23,10 @@ import shutil
 import time
 
 from medalforge_lakehouse_data_spark.format.metadata import (
-    CommitLock,
     manifest_path,
     read_manifest,
-    write_json_atomic,
 )
-from medalforge_lakehouse_data_spark.format.table import Table, _swap_pointer
+from medalforge_lakehouse_data_spark.format.table import Table
 
 
 def expire_snapshots(
@@ -43,77 +43,89 @@ def expire_snapshots(
     table exclusively pass grace_s=0."""
     if keep_last is None and older_than_ms is None:
         keep_last = 1
-    with CommitLock(table.root):
-        meta = table.metadata()
-        snaps = meta.snapshots
-        retained = []
+
+    picked: dict = {}
+
+    def pick(snaps, current_id):
+        retained, expired = [], []
         for idx, s in enumerate(snaps):
-            keep = s.snapshot_id == meta.current_snapshot_id
+            keep = s.snapshot_id == current_id
             if keep_last is not None and idx >= len(snaps) - keep_last:
                 keep = True
             if older_than_ms is not None and s.timestamp_ms >= older_than_ms:
                 keep = True
-            if keep:
-                retained.append(s)
-        expired = [s for s in snaps if s not in retained]
+            (retained if keep else expired).append(s)
+        return retained, expired
 
-        # MARK: reachable manifests + data files from retained snapshots
-        reachable_manifests: set[str] = set()
-        reachable_data: set[str] = set()
-        for s in retained:
-            for m in s.manifest_list:
-                reachable_manifests.add(manifest_path(m))
-        for m in reachable_manifests:
-            for e in read_manifest(table.root, m):
-                reachable_data.add(e.path)
-
-        # SWEEP: unreachable files on disk
-        deleted_data, deleted_manifests, freed = [], [], 0
-        now = time.time()
-        data_dir = os.path.join(table.root, "data")
-        for dirpath, _dirs, fnames in os.walk(data_dir):
-            for fn in fnames:
-                abs_p = os.path.join(dirpath, fn)
-                rel = os.path.relpath(abs_p, table.root)
-                if rel in reachable_data:
-                    continue
-                if now - os.path.getmtime(abs_p) < grace_s:
-                    continue
-                freed += os.path.getsize(abs_p)
-                deleted_data.append(rel)
-                if not dry_run:
-                    os.unlink(abs_p)
-        man_dir = os.path.join(table.root, "metadata", "manifests")
-        if os.path.isdir(man_dir):
-            for fn in os.listdir(man_dir):
-                rel = os.path.join("metadata", "manifests", fn)
-                if rel in reachable_manifests:
-                    continue
-                abs_p = os.path.join(table.root, rel)
-                if now - os.path.getmtime(abs_p) < grace_s:
-                    continue
-                deleted_manifests.append(rel)
-                if not dry_run:
-                    os.unlink(abs_p)
-        # stale staging dirs (crashed writers)
-        staging = os.path.join(table.root, "_staging")
-        staging_removed = 0
-        if os.path.isdir(staging):
-            for fn in os.listdir(staging):
-                p = os.path.join(staging, fn)
-                if now - os.path.getmtime(p) >= grace_s:
-                    staging_removed += 1
-                    if not dry_run:
-                        shutil.rmtree(p, ignore_errors=True)
-
-        if not dry_run and expired:
+    if dry_run:
+        meta = table.metadata()
+        retained, expired = pick(meta.snapshots, meta.current_snapshot_id)
+        picked.update(retained=retained, expired=expired)
+    else:
+        # 1. drop expired snapshots from metadata FIRST (optimistic CAS —
+        #    serializes against concurrent commits without a lock)
+        def mutate(meta):
+            retained, expired = pick(meta.snapshots, meta.current_snapshot_id)
+            picked.update(retained=retained, expired=expired)
+            if not expired:
+                return False, None
             meta.snapshots = retained
-            cur_v = int(table._pointer_version().split(".")[0][1:])
-            new_name = f"v{cur_v + 1}.metadata.json"
-            write_json_atomic(
-                os.path.join(table.root, "metadata", new_name), meta.to_json()
-            )
-            _swap_pointer(table.root, new_name)
+            return True, None
+
+        table._commit_metadata(mutate)
+
+    retained, expired = picked["retained"], picked["expired"]
+    # 2. MARK from the POST-expiry metadata (dry run: the would-be-retained
+    #    set): anything newer a concurrent commit adds is protected by
+    #    grace_s (files younger than the grace are never swept)
+    mark_snaps = retained if dry_run else table.metadata().snapshots
+    reachable_manifests: set[str] = set()
+    reachable_data: set[str] = set()
+    for s in mark_snaps:
+        for m in s.manifest_list:
+            reachable_manifests.add(manifest_path(m))
+    for m in reachable_manifests:
+        for e in read_manifest(table.root, m):
+            reachable_data.add(e.path)
+
+    # 3. SWEEP unreachable files on disk
+    deleted_data, deleted_manifests, freed = [], [], 0
+    now = time.time()
+    data_dir = os.path.join(table.root, "data")
+    for dirpath, _dirs, fnames in os.walk(data_dir):
+        for fn in fnames:
+            abs_p = os.path.join(dirpath, fn)
+            rel = os.path.relpath(abs_p, table.root)
+            if rel in reachable_data:
+                continue
+            if now - os.path.getmtime(abs_p) < grace_s:
+                continue
+            freed += os.path.getsize(abs_p)
+            deleted_data.append(rel)
+            if not dry_run:
+                os.unlink(abs_p)
+    man_dir = os.path.join(table.root, "metadata", "manifests")
+    if os.path.isdir(man_dir):
+        for fn in os.listdir(man_dir):
+            rel = os.path.join("metadata", "manifests", fn)
+            if rel in reachable_manifests:
+                continue
+            abs_p = os.path.join(table.root, rel)
+            if now - os.path.getmtime(abs_p) < grace_s:
+                continue
+            deleted_manifests.append(rel)
+            if not dry_run:
+                os.unlink(abs_p)
+    # stale staging dirs (crashed writers)
+    staging = os.path.join(table.root, "_staging")
+    staging_removed = 0
+    if os.path.isdir(staging):
+        for fn in os.listdir(staging):
+            p = os.path.join(staging, fn)
+            if now - os.path.getmtime(p) >= grace_s:
+                staging_removed += 1
+                if not dry_run:
+                    shutil.rmtree(p, ignore_errors=True)
 
     return {
         "expired_snapshots": [s.snapshot_id for s in expired],

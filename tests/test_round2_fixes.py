@@ -420,3 +420,66 @@ def test_auto_maintenance_policy(spark, tmp_path):
     assert appends_since_last_compact(t) == 0
     # layout tags preserved across the auto pass
     assert all(e.cluster for e in t.files())
+
+
+def test_cas_commit_heals_crashed_winner(spark, tmp_path):
+    """A writer that claimed v<N+1> but crashed before the pointer swap
+    must not wedge the table: the next committer heals the pointer
+    forward and retries on top of the orphaned (complete) version."""
+    import json
+
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    S = StructType([StructField("k", LongType()), StructField("v", StringType())])
+    t = Table.create(str(tmp_path / "t"), S)
+    t.append(spark, spark.createDataFrame([(1, "a")], S))
+    # simulate the crash: claim the next version slot, never swap
+    cur = t._pointer_version()
+    cur_v = int(cur.split(".")[0][1:])
+    meta = t.metadata()
+    meta.properties["crashed-writer"] = "true"
+    orphan = os.path.join(t.root, "metadata", f"v{cur_v + 1}.metadata.json")
+    with open(orphan, "w") as f:
+        json.dump(meta.to_json(), f)
+    assert t._pointer_version() == cur  # pointer still behind
+    # next commit heals and lands on v+2
+    t.append(spark, spark.createDataFrame([(2, "b")], S))
+    assert t.metadata().properties.get("crashed-writer") == "true"
+    assert {r.k for r in t.scan(spark).collect()} == {1, 2}
+    assert int(t._pointer_version().split(".")[0][1:]) == cur_v + 2
+
+
+def test_cas_concurrent_property_and_append(spark, tmp_path):
+    """Racing metadata writers (append vs set_properties) both land —
+    the CAS loop rebuilds the loser on fresh metadata."""
+    import threading
+
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    S = StructType([StructField("k", LongType()), StructField("v", StringType())])
+    t = Table.create(str(tmp_path / "t"), S)
+    df = spark.createDataFrame([(i, f"v{i}") for i in range(50)], S)
+    errs = []
+
+    def do_append():
+        try:
+            t.append(spark, df, commit_key="race-append")
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    def do_props():
+        try:
+            for i in range(5):
+                t.set_properties({f"p{i}": str(i)})
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    th = [threading.Thread(target=do_append), threading.Thread(target=do_props)]
+    for x in th:
+        x.start()
+    for x in th:
+        x.join()
+    assert not errs, errs
+    assert t.scan(spark).count() == 50
+    props = t.metadata().properties
+    assert all(props.get(f"p{i}") == str(i) for i in range(5))
