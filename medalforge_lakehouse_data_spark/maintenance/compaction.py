@@ -20,6 +20,7 @@ throughout (snapshot isolation)."""
 from __future__ import annotations
 
 import os
+import threading
 import time
 
 from pyspark.sql import SparkSession
@@ -73,6 +74,7 @@ def compact(
     min_file_bytes: int | None = None,
     job_id: str | None = None,
     checkpoint_root: str | None = None,
+    max_concurrent_units: int = 4,
 ) -> dict:
     """Run compaction; returns metrics. Resumable via (job_id,
     checkpoint_root): completed partitions are skipped on re-run and the
@@ -102,31 +104,52 @@ def compact(
     prev_oc = spark.conf.get("spark.sql.files.openCostInBytes")
     spark.conf.set("spark.sql.files.maxPartitionBytes", str(8 * 1024 * 1024))
     spark.conf.set("spark.sql.files.openCostInBytes", str(256 * 1024))
-    try:
-        for key, bins in sorted(plan.items()):
-            unit = "part:" + ",".join(f"{k}={v}" for k, v in key) if key else "part:_all"
-            files = [f for b in bins for f in b]
-            if ckpt.is_done(unit):
+    lock = threading.Lock()
+
+    def run_unit(item):
+        key, bins = item
+        unit = "part:" + ",".join(f"{k}={v}" for k, v in key) if key else "part:_all"
+        files = [f for b in bins for f in b]
+        if ckpt.is_done(unit):
+            with lock:
                 metrics["skipped_units"] += 1
-                continue
-            ckpt.mark(unit, "running", files=len(files))
-            # schema-evolution-safe: aligns files written under older versions
-            df = table.read_entries(spark, files)
-            added = table._write_data_files(spark, df, target_file_count=len(bins))
-            table.rewrite_files(
-                [f.path for f in files],
-                added,
-                operation="compact",
-                commit_key=f"{job_id}:{unit}",
-                extra_summary={"job_id": job_id},
-            )
-            rows = sum(e.rows for e in added)
-            nbytes = sum(f.bytes for f in files)
-            ckpt.mark_done(unit, files=len(files), files_out=len(added), rows=rows, bytes=nbytes)
+            return
+        ckpt.mark(unit, "running", files=len(files))
+        # schema-evolution-safe: aligns files written under older versions
+        df = table.read_entries(spark, files)
+        added = table._write_data_files(spark, df, target_file_count=len(bins))
+        table.rewrite_files(
+            [f.path for f in files],
+            added,
+            operation="compact",
+            commit_key=f"{job_id}:{unit}",
+            extra_summary={"job_id": job_id},
+        )
+        rows = sum(e.rows for e in added)
+        nbytes = sum(f.bytes for f in files)
+        ckpt.mark_done(unit, files=len(files), files_out=len(added), rows=rows, bytes=nbytes)
+        with lock:
             metrics["files_in"] += len(files)
             metrics["files_out"] += len(added)
             metrics["bytes_in"] += nbytes
             metrics["rows"] += rows
+
+    try:
+        # Units (partitions) run as CONCURRENT Spark jobs: each unit's
+        # read→shuffle→write underuses the cluster on its own, and the
+        # per-unit commits serialize safely through the optimistic CAS
+        # loop (disjoint file sets never conflict). Thread count is
+        # bounded — each thread drives a full Spark job.
+        units = sorted(plan.items())
+        pool = min(max_concurrent_units, max(1, len(units)))
+        if pool <= 1:
+            for item in units:
+                run_unit(item)
+        else:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=pool) as ex:
+                list(ex.map(run_unit, units))
     finally:
         spark.conf.set("spark.sql.files.maxPartitionBytes", prev_mpb)
         spark.conf.set("spark.sql.files.openCostInBytes", prev_oc)
