@@ -19,10 +19,13 @@ STAGES = ("ingest_s", "compact_s", "transcode_s", "cluster_s", "verify_s")
 
 
 def main():
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    argv = sys.argv[1:]
     out_path = None
-    if "--out" in sys.argv:
-        out_path = sys.argv[sys.argv.index("--out") + 1]
+    if "--out" in argv:
+        i = argv.index("--out")
+        out_path = argv[i + 1]
+        argv = argv[:i] + argv[i + 2:]
+    args = [a for a in argv if not a.startswith("--")]
     runs: dict[int, list[dict]] = {}
     for path in args:
         with open(path) as f:
