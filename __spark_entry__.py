@@ -146,6 +146,22 @@ def q_events_by_type(spark, sf):
     )
 
 
+def q_events_windowed(spark, sf):
+    """Tumbling 1-hour window aggregation over the events table — the
+    exact shape a Structured Streaming job runs (F.window is the
+    streaming-compatible operator; executed batch here so DuckDB's
+    time_bucket can oracle it)."""
+    e = _t(spark, sf, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"),
+             F.sum(F.col("value").cast("decimal(18,4)")).alias("sum_value"))
+        .select(F.col("w.start").alias("w_start"), "event_type", "n",
+                _dbl("sum_value", 4))
+        .orderBy("w_start", "event_type")
+    )
+
+
 def q_forecast_revenue(spark, sf):
     """TPC-H Q6-style: tight filter + single agg (predicate-pushdown path)."""
     li = _t(spark, sf, "lineitem")
@@ -665,6 +681,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "local_suppliers": q_local_suppliers,
         "top_orders_per_customer": q_top_orders_per_customer,
         "events_by_type": q_events_by_type,
+        "events_windowed": q_events_windowed,
         "forecast_revenue": q_forecast_revenue,
         "semi_join_customers": q_semi_join_customers_with_orders,
         "anti_join_customers": q_anti_join_customers_without_orders,
@@ -792,6 +809,12 @@ def oracle_sql() -> dict[str, str]:
                    round(cast(sum(cast(value as decimal(18,4))) as double), 4) AS sum_value,
                    count(distinct user_id) AS n_users
             FROM events GROUP BY event_type
+        """,
+        "events_windowed": """
+            SELECT time_bucket(INTERVAL '1 hour', ts) AS w_start,
+                   event_type, count(*) AS n,
+                   round(cast(sum(cast(value as decimal(18,4))) as double), 4) AS sum_value
+            FROM events GROUP BY 1, 2
         """,
         "forecast_revenue": """
             SELECT round(cast(sum(cast(cast(l_extendedprice as decimal(18,2))

@@ -483,3 +483,39 @@ def test_cas_concurrent_property_and_append(spark, tmp_path):
     assert t.scan(spark).count() == 50
     props = t.metadata().properties
     assert all(props.get(f"p{i}") == str(i) for i in range(5))
+
+
+def test_streaming_windowed_agg_matches_batch(spark, tmp_path):
+    """Structured Streaming windowed aggregation (watermark + tumbling
+    window, availableNow drain) produces the same result as the batch
+    F.window aggregation the driver oracle checks."""
+    # watermarks need TIMESTAMP (tz-aware); testdata ts is TIMESTAMP_NTZ
+    src = spark.read.parquet("/root/testdata/sf0.001/events.parquet") \
+        .select("event_id", "event_type",
+                F.col("ts").cast("timestamp").alias("ts"), "value").limit(2000)
+    in_dir = str(tmp_path / "stream_in")
+    src.coalesce(2).write.mode("overwrite").parquet(in_dir)
+
+    batch = (
+        spark.read.parquet(in_dir)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("ws"), "event_type", "n")
+    )
+    expected = {(r.ws, r.event_type): r.n for r in batch.collect()}
+
+    stream = (
+        spark.readStream.schema(spark.read.parquet(in_dir).schema).parquet(in_dir)
+        .withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("ws"), "event_type", "n")
+    )
+    q = (stream.writeStream.format("memory").queryName("win_agg")
+         .outputMode("complete")
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    got = {(r.ws, r.event_type): r.n
+           for r in spark.sql("SELECT * FROM win_agg").collect()}
+    assert got == expected and len(got) > 10
