@@ -43,6 +43,11 @@ def hash_values(values) -> np.ndarray:
     arr = np.asarray(values)
     if arr.dtype.kind in ("i", "u"):
         return _splitmix64(arr.astype(np.int64).view(np.uint64))
+    if arr.dtype.kind == "f" and arr.size and np.all(np.isfinite(arr)) \
+            and np.all(arr == np.floor(arr)):
+        # Integral floats (an int column that went through a null-bearing
+        # pandas round-trip) must hash like the ints the planner probes with.
+        return _splitmix64(arr.astype(np.int64).view(np.uint64))
     out = np.empty(len(arr), dtype=np.uint64)
     for i, v in enumerate(arr):
         b = str(v).encode("utf-8", "ignore")

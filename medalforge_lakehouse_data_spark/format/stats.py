@@ -97,7 +97,13 @@ def file_blooms(
         n = pf.metadata.num_rows
         if (n * bits_per_key) // 8 > max_bytes:
             continue
-        values = pf.read(columns=[col]).column(col).to_pandas().dropna().to_numpy()
+        # Drop nulls on the ARROW side: a null-bearing int64 column round-
+        # tripped through pandas becomes float64, so every value would hash
+        # via the str() fallback ("5.0") while the merge planner probes with
+        # Python ints via splitmix64 — bloom false negatives = silently
+        # skipped files = data corruption (round-2 ADVICE #1).
+        col_arr = pf.read(columns=[col]).column(col).combine_chunks().drop_null()
+        values = col_arr.to_pandas().to_numpy()
         if len(values):
             out[col] = Bloom.build(values, bits_per_key).to_json()
     return out

@@ -67,6 +67,12 @@ _NULL_PART = "__HIVE_DEFAULT_PARTITION__"
 
 Filter = tuple  # (col, op, value) with op in {=, <, <=, >, >=, in, between}
 
+
+class CommitConflictError(RuntimeError):
+    """A rewrite planned from snapshot S conflicts with a commit made after
+    S (e.g. a merge-on-read delete file landed between plan and commit).
+    The caller should re-read the affected files and retry the unit."""
+
 # widenings that lose no information (Iceberg's promotion set)
 _SAFE_WIDENINGS = {("integer", "long"), ("float", "double")}
 
@@ -207,7 +213,21 @@ class Table:
 
     def _pointer_version(self) -> str:
         with open(os.path.join(self.root, POINTER)) as f:
-            return f.read().strip()
+            name = f.read().strip()
+        # The pointer file is a CACHE of the latest version: the real commit
+        # point is the exclusive claim of v<N+1>.metadata.json (complete by
+        # construction — write_json_exclusive links fully-written files), so
+        # any claimed slot past the pointer IS committed. Probing forward
+        # makes every read immune to a crashed winner's unswapped pointer
+        # and to a lagging heal regressing it (round-2 ADVICE #4: the old
+        # check-then-act heal could move the pointer backwards past a fully
+        # committed snapshot, hiding acknowledged writes).
+        v = int(name.split(".", 1)[0][1:])
+        while os.path.exists(
+            os.path.join(self.root, "metadata", f"v{v + 1}.metadata.json")
+        ):
+            v += 1
+        return f"v{v}.metadata.json"
 
     def metadata(self) -> TableMetadata:
         return TableMetadata.from_json(
@@ -417,9 +437,11 @@ class Table:
             ):
                 _swap_pointer(self.root, new_name)
                 return result
-            # lost the CAS: heal a crashed winner's pointer, back off, retry
-            if self._pointer_version() == ver_name:
-                _swap_pointer(self.root, new_name)
+            # Lost the CAS: no explicit pointer heal needed — the claimed
+            # slot is the commit point and _pointer_version probes forward
+            # past a stale pointer, so the retry builds on the true latest.
+            # (An explicit heal here was a check-then-act race that could
+            # regress the pointer; round-2 ADVICE #4.)
             _time.sleep(random.uniform(0.005, 0.02) * min(attempt + 1, 10))
         raise RuntimeError(
             f"commit contention on {self.root}: {max_retries} CAS retries exhausted"
@@ -663,19 +685,49 @@ class Table:
         operation: str = "replace",
         commit_key: str | None = None,
         extra_summary: dict | None = None,
+        validate_from_sequence: int | None = None,
     ) -> Snapshot:
         """Swap a set of data files for another (compaction / clustering /
         MERGE). Manifests containing removed entries are rewritten; untouched
         manifests are reused by reference — at scale only the affected
-        metadata is rewritten, like Iceberg's rewrite-manifests."""
+        metadata is rewritten, like Iceberg's rewrite-manifests.
+
+        ``validate_from_sequence``: sequence number of the snapshot the
+        rewrite PLANNED/READ from. A merge-on-read delete file committed
+        concurrently (seq greater than this) passes the removed-paths
+        conflict check but no longer applies to the rewritten rows, whose
+        fresh seq exceeds the delete's — silently resurrecting deleted
+        rows (round-2 ADVICE #2). Iceberg guards this with
+        validateNoNewDeleteFiles; here the commit raises
+        CommitConflictError and the maintenance unit re-reads and retries."""
         removed = set(removed_paths)
+        # Capture which entries need stamping BEFORE the commit loop: on a
+        # lost CAS build() re-runs with a higher sid, and a one-shot
+        # `if e.seq is None` guard would leave the stale first-attempt seq
+        # on them — a MoR delete committed at snapshot N+2 but stamped seq
+        # N+1 misses rows a concurrent winner appended at N+1 (ADVICE #3).
+        unstamped = [e for e in added if e.seq is None]
 
         def build(meta: TableMetadata, sid: int):
-            for e in added:
-                if e.seq is None:
-                    e.seq = sid
-            new_manifest = write_manifest(self.root, added) if added else None
+            for e in unstamped:
+                e.seq = sid
             parent = meta.current_snapshot()
+            if validate_from_sequence is not None and parent is not None:
+                # only delete-bearing manifests are opened (the manifest-list
+                # entry carries a delete_files count); delete manifests are
+                # few and small, so this is a cheap driver-side check
+                for m in parent.manifest_list:
+                    if not isinstance(m, str) and not m.get("delete_files"):
+                        continue
+                    for e in read_manifest(self.root, m):
+                        if e.content == "deletes" and (e.seq or 0) > validate_from_sequence:
+                            raise CommitConflictError(
+                                f"{operation} planned from seq "
+                                f"{validate_from_sequence} but delete file "
+                                f"{e.path} committed at seq {e.seq}; re-read "
+                                f"and retry the unit"
+                            )
+            new_manifest = write_manifest(self.root, added) if added else None
             manifests: list[str] = []
             removed_entries: list[DataFile] = []
             seen_removed: set[str] = set()
@@ -713,11 +765,12 @@ class Table:
         """Commit already-written entries (data and/or delete files) as
         one new manifest appended to the parent's list — the merge-on-
         read commit shape (nothing removed, nothing rewritten)."""
+        # restamped on every CAS attempt, not just the first (ADVICE #3)
+        unstamped = [e for e in entries if e.seq is None]
 
         def build(meta: TableMetadata, sid: int):
-            for e in entries:
-                if e.seq is None:
-                    e.seq = sid
+            for e in unstamped:
+                e.seq = sid
             man = write_manifest(self.root, entries)
             parent = meta.current_snapshot()
             manifests = list(parent.manifest_list) if parent else []

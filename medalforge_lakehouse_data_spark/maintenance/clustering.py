@@ -32,7 +32,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import LongType
 
-from medalforge_lakehouse_data_spark.format.table import Table
+from medalforge_lakehouse_data_spark.format.table import CommitConflictError, Table
 from medalforge_lakehouse_data_spark.functions.zorder import (
     hilbert_index,
     morton_interleave,
@@ -145,12 +145,6 @@ def cluster_rewrite(
         for c in missing:
             bounds[c] = (agg[f"mn_{c}"], agg[f"mx_{c}"])
 
-    if mode == "incremental" and len(files) < len(all_files):
-        # schema-evolution-safe: aligns files written under older versions
-        df = table.read_entries(spark, files)
-    else:
-        df = table.scan(spark, snapshot_id)
-    keyed = with_curve_key(df, columns, bounds, curve)
     # Skew guard: with Zipf-heavy keys (one phash = 25% of rows) the range
     # partitioner's sampled boundaries collapse onto the hot key and most
     # output partitions come out empty. A deterministic high-cardinality
@@ -159,12 +153,6 @@ def cluster_rewrite(
     non_binary = [
         f.name for f in table.schema.fields if f.dataType.typeName() != "binary"
     ]
-    keyed = keyed.withColumn("_ztie", F.xxhash64(*[F.col(c) for c in non_binary]))
-    added = table._write_data_files(
-        spark, keyed, target_file_count=n_out, sort_within=["_zkey", "_ztie"]
-    )
-    for e in added:
-        e.cluster = tag
     # record the layout so MERGE/compaction can preserve it (and for
     # incremental re-clustering); property write precedes the data commit,
     # which is the one guarded by commit_key
@@ -173,23 +161,48 @@ def cluster_rewrite(
         "cluster.columns": ",".join(columns),
         "cluster.target-file-bytes": str(target_file_bytes),
     })
-    # a FULL rewrite replaces every data file; the scan that produced the
-    # rows applied all equality deletes, so the delete files are spent —
-    # drop them in the same atomic commit (merge-on-read cleanup)
-    removed_paths = [e.path for e in files]
-    if mode == "full" or len(files) == len(all_files):
-        removed_paths += [d.path for d in table.delete_files(snapshot_id)]
-    snap = table.rewrite_files(
-        removed_paths,
-        added,
-        operation="cluster",
-        commit_key=f"{job_id}:rewrite",
-        extra_summary={
-            "job_id": job_id,
-            "cluster_columns": list(columns),
-            "curve": curve,
-        },
-    )
+    # Read→rewrite must detect a MoR delete committed in between (the
+    # rewritten rows' fresh seq would escape it — round-2 ADVICE #2):
+    # validate_from_sequence fails the commit, and the unit re-reads.
+    for attempt in range(5):
+        plan_seq = (snapshot_id if snapshot_id is not None
+                    else table.metadata().last_sequence)
+        if mode == "incremental" and len(files) < len(all_files):
+            # schema-evolution-safe: aligns files written under older versions
+            df = table.read_entries(spark, files)
+        else:
+            df = table.scan(spark, snapshot_id)
+        keyed = with_curve_key(df, columns, bounds, curve)
+        keyed = keyed.withColumn("_ztie", F.xxhash64(*[F.col(c) for c in non_binary]))
+        added = table._write_data_files(
+            spark, keyed, target_file_count=n_out, sort_within=["_zkey", "_ztie"]
+        )
+        for e in added:
+            e.cluster = tag
+        # a FULL rewrite replaces every data file; the scan that produced the
+        # rows applied all equality deletes, so the delete files are spent —
+        # drop them in the same atomic commit (merge-on-read cleanup)
+        removed_paths = [e.path for e in files]
+        if mode == "full" or len(files) == len(all_files):
+            removed_paths += [d.path for d in table.delete_files(snapshot_id)]
+        try:
+            snap = table.rewrite_files(
+                removed_paths,
+                added,
+                operation="cluster",
+                commit_key=f"{job_id}:rewrite",
+                extra_summary={
+                    "job_id": job_id,
+                    "cluster_columns": list(columns),
+                    "curve": curve,
+                },
+                validate_from_sequence=plan_seq,
+            )
+            break
+        except CommitConflictError:
+            if attempt == 4 or snapshot_id is not None:
+                raise
+            continue  # re-read with the new deletes applied; orphans → GC
     dt = time.monotonic() - t0
     return {
         "job_id": job_id,

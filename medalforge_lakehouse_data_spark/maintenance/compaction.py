@@ -26,7 +26,7 @@ import time
 from pyspark.sql import SparkSession
 
 from medalforge_lakehouse_data_spark.format.metadata import DataFile
-from medalforge_lakehouse_data_spark.format.table import Table
+from medalforge_lakehouse_data_spark.format.table import CommitConflictError, Table
 from medalforge_lakehouse_data_spark.maintenance.checkpoint import JobCheckpoint
 
 DEFAULT_TARGET_BYTES = 128 * 1024 * 1024
@@ -115,16 +115,29 @@ def compact(
                 metrics["skipped_units"] += 1
             return
         ckpt.mark(unit, "running", files=len(files))
-        # schema-evolution-safe: aligns files written under older versions
-        df = table.read_entries(spark, files)
-        added = table._write_data_files(spark, df, target_file_count=len(bins))
-        table.rewrite_files(
-            [f.path for f in files],
-            added,
-            operation="compact",
-            commit_key=f"{job_id}:{unit}",
-            extra_summary={"job_id": job_id},
-        )
+        # Read-then-commit must detect a MoR delete landing in between:
+        # the rewrite's fresh seq would exceed the delete's, silently
+        # resurrecting deleted rows (round-2 ADVICE #2). Capture the
+        # sequence we read AT, let rewrite_files validate, retry on loss.
+        for attempt in range(5):
+            plan_seq = table.metadata().last_sequence
+            # schema-evolution-safe: aligns files written under older versions
+            df = table.read_entries(spark, files)
+            added = table._write_data_files(spark, df, target_file_count=len(bins))
+            try:
+                table.rewrite_files(
+                    [f.path for f in files],
+                    added,
+                    operation="compact",
+                    commit_key=f"{job_id}:{unit}",
+                    extra_summary={"job_id": job_id},
+                    validate_from_sequence=plan_seq,
+                )
+                break
+            except CommitConflictError:
+                if attempt == 4:
+                    raise
+                continue  # re-read with the new deletes applied; old files orphaned → GC
         rows = sum(e.rows for e in added)
         nbytes = sum(f.bytes for f in files)
         ckpt.mark_done(unit, files=len(files), files_out=len(added), rows=rows, bytes=nbytes)

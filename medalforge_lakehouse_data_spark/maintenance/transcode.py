@@ -72,6 +72,8 @@ def transcode_rewrite(
             out["_kept_original"] = kept  # same value per batch; summed later
             yield out[cols + ["_kept_original"]]
 
+    plan_seq = (snapshot_id if snapshot_id is not None
+                else table.metadata().last_sequence)
     df = table.scan(spark, snapshot_id)
     schema_plus = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in schema.fields)
     out = df.mapInPandas(transcode, schema=f"{schema_plus}, _kept_original int")
@@ -86,6 +88,10 @@ def transcode_rewrite(
         operation="transcode",
         commit_key=f"{job_id}:rewrite",
         extra_summary={"job_id": job_id, "target_fmt": target_fmt, "quality": quality},
+        # a MoR delete landing between scan and commit would be silently
+        # outrun by the rewrite's fresh seq (round-2 ADVICE #2); the job is
+        # idempotent via commit_key, so callers simply re-run on conflict
+        validate_from_sequence=plan_seq,
     )
     kept_originals = out.filter(F.col("fmt") != target_fmt).count()
     out.unpersist()

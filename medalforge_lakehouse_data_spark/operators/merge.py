@@ -168,6 +168,9 @@ def merge_into(
                 plan_filters.append((fname, "in", tuple(bkts)))
     b = source.agg(F.min(k0).alias("mn"), F.max(k0).alias("mx")).collect()[0]
     plan_filters.append((k0, "between", (b["mn"], b["mx"])))
+    # sequence this merge plans/reads at — a MoR delete committed after it
+    # would not apply to the rewritten rows; rewrite_files validates
+    plan_seq = table.metadata().last_sequence
     affected, prune_metrics = table.plan_files(filters=plan_filters)
     if 0 < src_count <= MERGE_KEY_COLLECT_LIMIT:
         from medalforge_lakehouse_data_spark.format.bloom import hash_values
@@ -189,7 +192,7 @@ def merge_into(
         )
         out = _write_and_commit(
             table, spark, result, affected, prune_metrics, src_count,
-            keys, commit_key, cols, t0,
+            keys, commit_key, cols, t0, plan_seq,
         )
         source.unpersist()
         return out
@@ -242,7 +245,7 @@ def merge_into(
         result = result.unionByName(p)
     out = _write_and_commit(
         table, spark, result, affected, prune_metrics, src_count,
-        keys, commit_key, cols, t0,
+        keys, commit_key, cols, t0, plan_seq,
     )
     source.unpersist()
     return out
@@ -342,7 +345,7 @@ def _conditional_merge_rows(
 
 
 def _write_and_commit(table, spark, result, affected, prune_metrics, src_count,
-                      keys, commit_key, cols, t0) -> dict:
+                      keys, commit_key, cols, t0, plan_seq=None) -> dict:
     """Shared MERGE tail: size outputs, preserve any recorded clustering
     layout, write the replacement files, and commit the rewrite."""
     # size outputs to the incoming data volume; the rows-based floor covers
@@ -398,6 +401,10 @@ def _write_and_commit(table, spark, result, affected, prune_metrics, src_count,
             "source_rows": src_count,
             "files_pruned": prune_metrics["files_total"] - prune_metrics["files_kept"],
         },
+        # a MoR delete committed after this merge planned would silently
+        # not apply to the rewritten rows (ADVICE #2); commit_key makes a
+        # re-run after CommitConflictError idempotent
+        validate_from_sequence=plan_seq,
     )
     return {
         "snapshot_id": snap.snapshot_id,

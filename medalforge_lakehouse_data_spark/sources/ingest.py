@@ -229,10 +229,19 @@ def ingest_batch(
             # append + ledger.add both landed; only the clear was lost
             ledger.clear_pending()
         else:
-            # replay under the ORIGINAL key even if some source files
-            # vanished since — the key must match the possibly-committed
-            # append to dedupe it
-            batches.append((pend_key, [f for f in pend_files if os.path.exists(f)]))
+            surviving = [f for f in pend_files if os.path.exists(f)]
+            if surviving:
+                # replay under the ORIGINAL key even if some source files
+                # vanished since — the key must match the possibly-committed
+                # append to dedupe it
+                batches.append((pend_key, surviving))
+            else:
+                # EVERY pending file vanished: the original append either
+                # committed (idempotent key) or has nothing left to read.
+                # Reading an empty list raises and would wedge ingest on
+                # every re-run (round-2 ADVICE #5) — mark processed, clear.
+                ledger.add(pend_files)
+                ledger.clear_pending()
 
     import hashlib
 
