@@ -7,8 +7,19 @@ Covers the two performance surfaces BASELINE.md tracks:
      metric): compaction + clustering GB/min and files/min, scan-pruning
      speedup after Z-order, MERGE throughput.
 
+NOISE PROTOCOL (round-2 VERDICT #1): this sandbox shares a contended
+host — identical configs vary 3-6× run to run (a raw parquet scan
+measured 6.7× slower between rounds). A single run therefore measures
+host load, not the engine. ``python bench.py`` orchestrates
+BENCH_ROUNDS (default 3) fresh-JVM worker runs (``--worker``), waits
+for stray JVMs between rounds, and reports the MIN per query across
+rounds — the standard uncontended-run estimator, same protocol as
+tools/bench_scaling.py. ``value`` is the sum of per-query minima;
+``round_totals`` shows the raw spread for honesty.
+
 Env knobs: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS (default all),
-BENCH_IMAGE_ROWS (default 12000), BENCH_SKIP_MAINTENANCE=1.
+BENCH_IMAGE_ROWS (default 12000), BENCH_ROUNDS (default 3; 1 = single
+in-process run for quick iteration), BENCH_SKIP_MAINTENANCE=1.
 Two-parallelism scaling evidence is produced by tools/bench_scaling.py
 (results recorded in BENCH/BASELINE.md), not here — the driver runs
 this file per-round at one parallelism.
@@ -180,6 +191,18 @@ def bench_maintenance(spark, timings: dict, extra: dict) -> None:
         timings["scan_post_mor"] = round(time.monotonic() - t0, 3)
         assert n_after == IMAGE_ROWS + IMAGE_ROWS // 100 * 2, n_after
 
+        # DELETE-FILE COMPACTION: fold the MoR equality deletes into only
+        # the affected data files; the post-fold scan should drop back to
+        # ~scan_post_cluster (no per-scan anti-join tax left)
+        t0 = time.monotonic()
+        dm = compaction.compact_deletes(t, spark, target_file_bytes=32 * 1024 * 1024)
+        timings["maint_compact_deletes"] = round(time.monotonic() - t0, 3)
+        extra["delete_fold_files"] = f"{dm['files_in']}->{dm['files_out']}"
+        t0 = time.monotonic()
+        n_folded = t.scan(spark).count()
+        timings["scan_post_delete_compact"] = round(time.monotonic() - t0, 3)
+        assert n_folded == n_after, (n_folded, n_after)
+
 
 def main():
     from medalforge_lakehouse_data_spark.session import get_spark
@@ -219,5 +242,62 @@ def main():
     print(json.dumps(out))
 
 
+def orchestrate(rounds: int) -> None:
+    """Fresh-JVM worker per round; min per query across rounds."""
+    import subprocess
+
+    results = []
+    for i in range(rounds):
+        # wait for stray JVMs so rounds don't poison each other
+        for _ in range(30):
+            n = subprocess.run(["pgrep", "-c", "java"],
+                               capture_output=True, text=True)
+            if n.stdout.strip() in ("", "0"):
+                break
+            time.sleep(2)
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--worker"],
+            capture_output=True, text=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        )
+        lines = [ln for ln in out.stdout.strip().splitlines()
+                 if ln.startswith("{")]
+        if not lines:
+            print(f"round {i}: worker failed\n{out.stderr[-2000:]}",
+                  file=sys.stderr)
+            continue
+        r = json.loads(lines[-1])
+        results.append(r)
+        print(f"round {i}: total {r['value']}s", file=sys.stderr)
+    if not results:
+        raise SystemExit("all bench rounds failed")
+    qnames = list(results[0]["queries"].keys())
+    best_q = {
+        q: min(r["queries"].get(q, float("inf")) for r in results)
+        for q in qnames
+    }
+    best_round = min(results, key=lambda r: r["value"])
+    out = {
+        "metric": "sum of per-query minima across fresh-JVM rounds "
+                  "(headline queries + maintenance suite)",
+        "value": round(sum(best_q.values()), 3),
+        "unit": "sec",
+        "queries": {q: round(v, 3) for q, v in best_q.items()},
+        "sf": results[0]["sf"],
+        "cpus": results[0]["cpus"],
+        "rounds": len(results),
+        "round_totals": [r["value"] for r in results],
+        "maintenance": best_round.get("maintenance", {}),
+    }
+    print(json.dumps(out))
+
+
 if __name__ == "__main__":
-    main()
+    if "--worker" in sys.argv:
+        main()
+    else:
+        rounds = int(os.environ.get("BENCH_ROUNDS", "3"))
+        if rounds <= 1:
+            main()
+        else:
+            orchestrate(rounds)

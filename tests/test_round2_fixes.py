@@ -238,7 +238,12 @@ def test_merge_preserves_clustering_layout(spark, tmp_path):
     from medalforge_lakehouse_data_spark.operators.merge import merge_into
     from medalforge_lakehouse_data_spark.testing.datagen import IMAGES_SCHEMA, images_df
 
-    t = Table.create(str(tmp_path / "t"), IMAGES_SCHEMA)
+    # rekey-min pinned low: this test exercises the PRESERVE path (the
+    # default threshold would classify this tiny table's merge as a
+    # trickle and defer to incremental clustering — covered by
+    # test_round3_fixes.test_trickle_merge_skips_rekey_then_recovers)
+    t = Table.create(str(tmp_path / "t"), IMAGES_SCHEMA,
+                     properties={"merge.cluster-rekey-min-bytes": "1"})
     t.append(spark, images_df(spark, 1000, seed=3), target_file_count=8)
     clustering.cluster_rewrite(
         t, spark, columns=("phash", "w", "h"), target_file_bytes=64 * 1024
@@ -441,8 +446,13 @@ def test_cas_commit_heals_crashed_winner(spark, tmp_path):
     orphan = os.path.join(t.root, "metadata", f"v{cur_v + 1}.metadata.json")
     with open(orphan, "w") as f:
         json.dump(meta.to_json(), f)
-    assert t._pointer_version() == cur  # pointer still behind
-    # next commit heals and lands on v+2
+    # round-3 semantics: the exclusive claim IS the commit point — reads
+    # probe forward past the stale pointer file immediately, so the
+    # orphaned version is visible without waiting for a healing writer
+    with open(os.path.join(t.root, "metadata", "current")) as f:
+        assert f.read().strip() == cur  # pointer FILE still behind...
+    assert t._pointer_version() == f"v{cur_v + 1}.metadata.json"  # ...reads aren't
+    # next commit builds on the claimed version and lands on v+2
     t.append(spark, spark.createDataFrame([(2, "b")], S))
     assert t.metadata().properties.get("crashed-writer") == "true"
     assert {r.k for r in t.scan(spark).collect()} == {1, 2}
