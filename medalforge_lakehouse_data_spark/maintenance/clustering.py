@@ -115,26 +115,32 @@ def curve_boundaries(
     return [int(v) for v in (row["b"] or [])]
 
 
-def partition_assign_udf(boundaries: list[int]):
-    """pandas UDF (_zkey, _ztie) → partition id in [0, len(boundaries)].
+def partition_routing_udf(boundaries: list[int], preimages: list[int]):
+    """pandas UDF (_zkey, _ztie) → shuffle-routing value: the hash
+    preimage of the row's range-partition id, looked up INSIDE the UDF
+    closure — ``repartition(n, _px)`` then lands each range in its own
+    shuffle partition with no extra join in the plan (a broadcast join
+    here measured 10-40× slower than the whole rest of the chain at
+    local[32] on the contended sandbox host).
 
     Vectorized searchsorted; rows whose key EQUALS one or more boundary
     values (a hot key spanning several quantiles) are spread across the
     adjacent partitions by the tie hash — the skew split RangePartitioner
     cannot do (it never separates equal keys)."""
     b = np.asarray(boundaries, dtype=np.int64)
+    px_lut = np.asarray(preimages, dtype=np.int64)
 
-    @pandas_udf("int")
-    def _pid(zkey: pd.Series, ztie: pd.Series) -> pd.Series:
+    @pandas_udf("long")
+    def _px(zkey: pd.Series, ztie: pd.Series) -> pd.Series:
         z = zkey.to_numpy(dtype=np.int64, na_value=0)
         lo = np.searchsorted(b, z, side="left")
         hi = np.searchsorted(b, z, side="right")
         span = hi - lo + 1
         tie = ztie.to_numpy(dtype=np.int64, na_value=0).astype(np.uint64)
         pid = lo + (tie % span.astype(np.uint64)).astype(np.int64)
-        return pd.Series(pid.astype(np.int32))
+        return pd.Series(px_lut[pid])
 
-    return _pid
+    return _px
 
 
 def hash_preimages(spark: SparkSession, n: int) -> list[int]:
@@ -179,15 +185,10 @@ def write_range_partitioned(
             spark, keyed, target_file_count=max(1, n_out),
             sort_within=sort_within,
         )
-    pid_udf = partition_assign_udf(boundaries)
+    px_udf = partition_routing_udf(boundaries, hash_preimages(spark, n_out))
     keyed = keyed.withColumn(
-        "_pid", pid_udf(F.col(sort_within[0]), F.col(sort_within[-1]))
+        "_px", px_udf(F.col(sort_within[0]), F.col(sort_within[-1]))
     )
-    pre = hash_preimages(spark, n_out)
-    map_df = spark.createDataFrame(
-        [(i, x) for i, x in enumerate(pre)], "_pid int, _px long"
-    )
-    keyed = keyed.join(F.broadcast(map_df), "_pid")
     return table._write_data_files(
         spark, keyed, target_file_count=n_out,
         sort_within=sort_within, shuffle_col="_px",
