@@ -143,26 +143,63 @@ def partition_routing_udf(boundaries: list[int], preimages: list[int]):
     return _px
 
 
+def _spark_hash_long(values: "np.ndarray") -> "np.ndarray":
+    """Vectorized replica of Spark's ``hash()`` for a LongType column:
+    Murmur3_x86_32.hashLong(v, seed=42) (Spark's
+    sql/catalyst Murmur3HashFunction). Verified against ``F.hash`` in
+    test_round3_fixes. Lets the preimage search run driver-side in
+    microseconds instead of as a Spark job per rewrite."""
+    v = values.astype(np.int64)
+    seed = np.uint32(42)
+
+    def rotl(x, r):
+        return (x << np.uint32(r)) | (x >> np.uint32(32 - r))
+
+    def mix_k1(k1):
+        k1 = (k1 * np.uint32(0xCC9E2D51)).astype(np.uint32)
+        k1 = rotl(k1, 15)
+        return (k1 * np.uint32(0x1B873593)).astype(np.uint32)
+
+    def mix_h1(h1, k1):
+        h1 = (h1 ^ k1).astype(np.uint32)
+        h1 = rotl(h1, 13)
+        return (h1 * np.uint32(5) + np.uint32(0xE6546B64)).astype(np.uint32)
+
+    with np.errstate(over="ignore"):
+        low = (v & np.int64(0xFFFFFFFF)).astype(np.uint32)
+        high = ((v >> np.int64(32)) & np.int64(0xFFFFFFFF)).astype(np.uint32)
+        h1 = np.full_like(low, seed, dtype=np.uint32)
+        h1 = mix_h1(h1, mix_k1(low))
+        h1 = mix_h1(h1, mix_k1(high))
+        # fmix(h1, 8)
+        h1 = (h1 ^ np.uint32(8)).astype(np.uint32)
+        h1 ^= h1 >> np.uint32(16)
+        h1 = (h1 * np.uint32(0x85EBCA6B)).astype(np.uint32)
+        h1 ^= h1 >> np.uint32(13)
+        h1 = (h1 * np.uint32(0xC2B2AE35)).astype(np.uint32)
+        h1 ^= h1 >> np.uint32(16)
+    return h1.astype(np.int32)
+
+
 def hash_preimages(spark: SparkSession, n: int) -> list[int]:
     """For each partition id p in [0, n), an integer x with
     pmod(hash(x), n) == p — so ``repartition(n, col)`` over the mapped
     column routes each range id to its OWN shuffle partition (plain
     hash-partitioning on the id itself would collide ids and merge
-    ranges into one file, widening its min/max bounds). Uses Spark's own
-    hash() so the mapping matches the shuffle exactly."""
+    ranges into one file, widening its min/max bounds). Computed
+    driver-side with a numpy replica of Spark's Murmur3 long hash
+    (``spark`` is unused, kept for signature stability)."""
     limit = max(64, 24 * n)
-    for _ in range(4):
-        rows = (
-            spark.range(limit)
-            .select(F.pmod(F.hash(F.col("id")), F.lit(n)).alias("p"),
-                    F.col("id"))
-            .groupBy("p").agg(F.min("id").alias("x"))
-            .collect()
-        )
-        if len(rows) == n:
-            out = [0] * n
-            for r in rows:
-                out[r["p"]] = int(r["x"])
+    for _ in range(6):
+        xs = np.arange(limit, dtype=np.int64)
+        p = np.mod(_spark_hash_long(xs).astype(np.int64), n)  # pmod: n > 0
+        out: list[int] = [-1] * n
+        # first (minimum) preimage per residue
+        order = np.argsort(p, kind="stable")
+        ps, idx = np.unique(p[order], return_index=True)
+        for residue, i in zip(ps, idx):
+            out[int(residue)] = int(xs[order[i]])
+        if all(x >= 0 for x in out):
             return out
         limit *= 4
     raise RuntimeError(f"could not find hash preimages for n={n}")

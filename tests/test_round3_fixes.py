@@ -262,3 +262,34 @@ def test_trickle_merge_skips_rekey_then_recovers(spark, tmp_path):
     out = t.scan(spark)
     assert out.count() == 1000
     assert out.filter(F.col("caption").startswith("v2 ")).count() == 50
+
+
+# ----------------------------- 7. driver-side Murmur3 replica of F.hash(long)
+
+
+def test_spark_hash_long_replica_matches_spark(spark):
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from medalforge_lakehouse_data_spark.maintenance.clustering import (
+        _spark_hash_long,
+        hash_preimages,
+    )
+
+    vals = list(range(-100, 500)) + [2**40 + 7, -(2**55), 2**62, 0, -1]
+    got = {
+        r.v: r.h
+        for r in spark.createDataFrame([(v,) for v in vals], "v long")
+        .select("v", F.hash("v").alias("h")).collect()
+    }
+    mine = _spark_hash_long(np.array(vals, dtype=np.int64))
+    assert all(got[v] == int(m) for v, m in zip(vals, mine))
+    # preimage contract: pmod(hash(x_p), n) == p for every partition id
+    n = 37
+    pre = hash_preimages(spark, n)
+    chk = (
+        spark.createDataFrame([(i, x) for i, x in enumerate(pre)], "i int, x long")
+        .select("i", F.pmod(F.hash("x"), F.lit(n)).alias("p"))
+        .collect()
+    )
+    assert all(r.i == r.p for r in chk)

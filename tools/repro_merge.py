@@ -64,6 +64,36 @@ def main():
     ins = images_df(spark, ROWS // 100, seed=99, id_offset=50_000_000)
     src = upd.unionByName(ins)
 
+    if os.environ.get("REPRO_TIMERS"):
+        from medalforge_lakehouse_data_spark.maintenance import clustering as _cl
+        from medalforge_lakehouse_data_spark.operators import merge as _mg
+
+        def wrap(mod, name):
+            orig = getattr(mod, name)
+
+            def timed(*a, **kw):
+                t0 = time.monotonic()
+                out = orig(*a, **kw)
+                print(f"    [{name}] {time.monotonic()-t0:6.2f}s", flush=True)
+                return out
+
+            setattr(mod, name, timed)
+
+        wrap(_cl, "curve_boundaries")
+        wrap(_cl, "column_bounds")
+        wrap(_mg, "_prune_affected") if hasattr(_mg, "_prune_affected") else None
+        worig = Table._write_data_files
+
+        def wtimed(self, *a, **kw):
+            t0 = time.monotonic()
+            out = worig(self, *a, **kw)
+            print(f"    [_write_data_files] {time.monotonic()-t0:6.2f}s", flush=True)
+            return out
+
+        Table._write_data_files = wtimed
+        # re-point merge's imported symbols
+        _mg.write_range_partitioned = _cl.write_range_partitioned
+
     for label, props in (
         ("norekey", {"merge.cluster-rekey-min-bytes": str(1 << 60)}),
         ("rekey", {}),
