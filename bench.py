@@ -243,11 +243,22 @@ def main():
 
 
 def orchestrate(rounds: int) -> None:
-    """Fresh-JVM worker per round; min per query across rounds."""
+    """Fresh-JVM worker per round; min per query across rounds.
+
+    BENCH_BUDGET_S (default 1500): stop launching further rounds once the
+    elapsed wall clock exceeds the budget — on a badly contended host a
+    single round can take 4-5x its quiet time, and two completed rounds
+    with minima beat a killed process with none."""
     import subprocess
 
+    budget_s = float(os.environ.get("BENCH_BUDGET_S", "1500"))
+    t_start = time.monotonic()
     results = []
     for i in range(rounds):
+        if results and time.monotonic() - t_start > budget_s:
+            print(f"round {i}: skipped (past {budget_s:.0f}s budget)",
+                  file=sys.stderr)
+            break
         # wait for stray JVMs so rounds don't poison each other
         for _ in range(30):
             n = subprocess.run(["pgrep", "-c", "java"],

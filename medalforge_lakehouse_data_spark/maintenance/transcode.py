@@ -52,16 +52,17 @@ def transcode_rewrite(
                 try:
                     px = codec.decode(bytes(b))
                     enc = codec.encode(px, target_fmt, quality)
+                    # decode the re-encode ONCE; reused by the PSNR gate
+                    # and the pHash recompute (was two decodes per row)
+                    dec = codec.decode(enc) if target_fmt == "lossy" else px
                     if min_psnr is not None and target_fmt == "lossy":
-                        if codec.psnr(px, codec.decode(enc)) < min_psnr:
+                        if codec.psnr(px, dec) < min_psnr:
                             kept += 1
                             new_bytes.append(b); new_fmt.append(fmt); new_phash.append(ph)
                             continue
                     new_bytes.append(enc)
                     new_fmt.append(target_fmt)
-                    new_phash.append(
-                        phash64(codec.decode(enc) if target_fmt == "lossy" else px)
-                    )
+                    new_phash.append(phash64(dec))
                 except Exception:
                     kept += 1
                     new_bytes.append(b); new_fmt.append(fmt); new_phash.append(ph)

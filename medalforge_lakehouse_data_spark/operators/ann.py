@@ -133,7 +133,7 @@ def centroid_assign_udf(centroids: np.ndarray):
 
 def train_ivf_centroids(
     vectors: DataFrame, vec_col: str, nlist: int, sample_rows: int = 20_000,
-    seed: int = 42,
+    seed: int = 42, n_rows: int | None = None,
 ) -> np.ndarray:
     """Uniform random sample → driver-side k-means.
 
@@ -141,8 +141,11 @@ def train_ivf_centroids(
     sample followed by a first-partitions-only limit — at scale the
     centroids trained on one shard. Now: seeded Bernoulli sample at
     fraction ~ oversampled n/N (every partition contributes), then trim.
-    The count is a cheap columnar scan and keeps sampling one data pass."""
-    n = vectors.count()
+
+    ``n_rows``: corpus size if the caller already knows it (table
+    manifests carry exact per-file row counts, so ``build_ivf_index``
+    passes it for free) — skips the count() pass over the corpus."""
+    n = vectors.count() if n_rows is None else n_rows
     if n == 0:
         raise ValueError("train_ivf_centroids: empty corpus")
     frac = min(1.0, 1.3 * sample_rows / n)  # oversample: Bernoulli variance
@@ -191,9 +194,13 @@ def build_ivf_index(
     Table, so every ivf_topk call retrained). Retraining = calling this
     again; ``ivf_topk_on_table`` / ``load_ivf_index`` pick the persisted
     index up automatically."""
+    # exact corpus size from manifest row counts — no count() pass; note
+    # MoR delete files may make this an overestimate, which only lowers
+    # the sample fraction slightly (sampling stays uniform)
+    n_rows = sum(e.rows for e in table.files(content="data"))
     cents = train_ivf_centroids(
         table.scan(spark, columns=[vec_col]), vec_col, nlist,
-        sample_rows=sample_rows, seed=seed,
+        sample_rows=sample_rows, seed=seed, n_rows=n_rows,
     )
     table.set_properties({f"{IVF_PROP}.{vec_col}": centroids_to_property(cents)})
     return cents
