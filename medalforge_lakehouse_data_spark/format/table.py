@@ -101,13 +101,18 @@ def _validate_partition_spec(schema: StructType, partition_spec: list[str]) -> N
 def parse_partition_field(entry: str) -> tuple[str, str, str, int | None]:
     """Spec entry → (field_name, source_col, transform, n_buckets).
     Identity fields keep their column name; bucket fields are named
-    '<col>_bucket' and hold pmod(xxhash64(col), n)."""
+    '<col>_bucket_<n>' and hold pmod(xxhash64(col), n). The modulus is
+    PART OF THE FIELD NAME on purpose: after update_partition_spec
+    re-buckets a column (bucket(k,8) → bucket(k,16)), old files' mod-8
+    values must never be point-compared against a mod-16 bucket filter —
+    distinct names make the filter miss the old field and pruning fall
+    back to column stats (conservative, correct)."""
     m = _BUCKET_RE.match(entry.strip())
     if m:
         col, n = m.group(1), int(m.group(2))
         if n < 1:
             raise ValueError(f"bucket count must be >= 1: {entry!r}")
-        return f"{col}_bucket", col, "bucket", n
+        return f"{col}_bucket_{n}", col, "bucket", n
     return entry, entry, "identity", None
 
 

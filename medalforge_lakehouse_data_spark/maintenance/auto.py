@@ -68,18 +68,44 @@ def maybe_maintain(
     job_id = job_id or f"auto-{int(time.time())}"
     out: dict = {"job_id": job_id, "compacted": False, "clustered": False}
 
-    # delete-file trigger runs FIRST and independently of the append
-    # counter: read degradation tracks live delete files, not appends
-    n_dels = len(table.delete_files())
-    out["delete_files"] = n_dels
-    if policy.max_delete_files and n_dels >= policy.max_delete_files:
-        dm = compaction.compact_deletes(
+    def _recluster_incremental(tag: str) -> None:
+        props = table.metadata().properties
+        cl_cols = [c.strip() for c in props.get("cluster.columns", "").split(",")
+                   if c.strip()]
+        if not (policy.cluster_incremental and cl_cols):
+            return
+        km = clustering.cluster_rewrite(
             table, spark,
-            target_file_bytes=policy.target_file_bytes,
-            job_id=f"{job_id}-deletes",
+            columns=tuple(cl_cols),
+            curve=props.get("cluster.curve", "zorder"),
+            target_file_bytes=int(props.get("cluster.target-file-bytes",
+                                            policy.target_file_bytes)),
+            mode="incremental",
+            min_input_files=1,  # even a single untagged file re-clusters
+            job_id=f"{job_id}-{tag}",
         )
-        out.update(deletes_folded=True, compact_deletes={
-            k: dm.get(k) for k in ("delete_files", "files_in", "files_out", "seconds")})
+        out.update(clustered=out.get("clustered") or km.get("files_in", 0) > 0,
+                   cluster={k: km.get(k) for k in ("files_in", "files_out", "seconds")})
+
+    # delete-file trigger runs FIRST and independently of the append
+    # counter: read degradation tracks live delete files, not appends.
+    # max_delete_files=0 disables the trigger AND skips the manifest read.
+    if policy.max_delete_files:
+        n_dels = len(table.delete_files())
+        out["delete_files"] = n_dels
+        if n_dels >= policy.max_delete_files:
+            dm = compaction.compact_deletes(
+                table, spark,
+                target_file_bytes=policy.target_file_bytes,
+                job_id=f"{job_id}-deletes",
+            )
+            out.update(deletes_folded=True, compact_deletes={
+                k: dm.get(k) for k in ("delete_files", "files_in", "files_out", "seconds")})
+            # fold output is written untagged (it may drop rows mid-range);
+            # restore the recorded layout right away instead of waiting for
+            # the append-counter trigger
+            if dm.get("files_out"):
+                _recluster_incremental("cluster-postfold")
 
     n_appends = appends_since_last_compact(table)
     out["appends_since_compact"] = n_appends
@@ -99,20 +125,5 @@ def maybe_maintain(
     out.update(compacted=True, compact=
                {k: cm.get(k) for k in ("files_in", "files_out", "seconds")})
 
-    props = table.metadata().properties
-    cl_cols = [c.strip() for c in props.get("cluster.columns", "").split(",")
-               if c.strip()]
-    if policy.cluster_incremental and cl_cols:
-        km = clustering.cluster_rewrite(
-            table, spark,
-            columns=tuple(cl_cols),
-            curve=props.get("cluster.curve", "zorder"),
-            target_file_bytes=int(props.get("cluster.target-file-bytes",
-                                            policy.target_file_bytes)),
-            mode="incremental",
-            min_input_files=1,  # even a single post-compact file re-clusters
-            job_id=f"{job_id}-cluster",
-        )
-        out.update(clustered=km.get("files_in", 0) > 0,
-                   cluster={k: km.get(k) for k in ("files_in", "files_out", "seconds")})
+    _recluster_incremental("cluster")
     return out

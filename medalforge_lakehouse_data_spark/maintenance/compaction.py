@@ -110,6 +110,11 @@ def compact_deletes(
     for attempt in range(5):
         plan_seq = table.metadata().last_sequence
         dels = table.delete_files()
+        if not dels:
+            # a concurrent writer folded them between our retry attempts —
+            # nothing left to do; do NOT commit an empty rewrite snapshot
+            return {"job_id": job_id, "delete_files": 0, "files_in": 0,
+                    "files_out": 0, "seconds": round(time.monotonic() - t0, 3)}
         data = table.files(content="data")
         affected = [e for e in data if any(_overlaps_delete(e, d) for d in dels)]
         if not affected:
@@ -119,10 +124,32 @@ def compact_deletes(
         else:
             df = table.read_entries(spark, affected)  # applies the deletes
             n_out = max(1, round(sum(e.bytes for e in affected) / target_file_bytes))
-            # preserve any recorded clustering tag on the rewritten files?
-            # No: the fold may drop rows, keys stay sorted within each
-            # input range only — leave untagged for incremental clustering
-            added = table._write_data_files(spark, df, target_file_count=n_out)
+            # The output is written UNTAGGED (the fold may drop rows, so
+            # the inputs' curve tags no longer certify the layout);
+            # auto-maintenance runs an incremental cluster pass right
+            # after a fold to restore it. Range-sorting on the recorded
+            # curve keeps per-file bounds tight in the interim — the
+            # repartitionByRange double-execution this implies is fine
+            # HERE because the fold input is O(delete-affected bytes),
+            # not table-sized (merge/cluster use the one-pass range write
+            # instead).
+            props = table.metadata().properties
+            cl_cols = [c.strip() for c in
+                       props.get("cluster.columns", "").split(",") if c.strip()]
+            sort_within = None
+            if cl_cols and all(c in df.columns for c in cl_cols):
+                from medalforge_lakehouse_data_spark.maintenance.clustering import (
+                    column_bounds,
+                    with_curve_key,
+                )
+
+                bounds = column_bounds(table, cl_cols)
+                if all(bounds[c][0] is not None for c in cl_cols):
+                    df = with_curve_key(df, cl_cols, bounds,
+                                        props.get("cluster.curve", "zorder"))
+                    sort_within = ["_zkey"]
+            added = table._write_data_files(spark, df, target_file_count=n_out,
+                                            sort_within=sort_within)
             removed = [e.path for e in affected] + [d.path for d in dels]
         try:
             table.rewrite_files(

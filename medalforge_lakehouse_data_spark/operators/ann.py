@@ -224,9 +224,12 @@ def ivf_topk_on_table(
     n_probe: int = 4,
 ) -> DataFrame:
     """IVF top-k against a Table, auto-loading (or training and
-    persisting) the centroid index from table properties."""
+    persisting) the centroid index from table properties. A persisted
+    index whose cell count differs from the requested ``nlist`` is
+    retrained — silently serving 8 cells when the caller sized probes
+    for 64 would change the scanned fraction per query."""
     cents = load_ivf_index(table, vec_col)
-    if cents is None:
+    if cents is None or cents.shape[0] != nlist:
         cents = build_ivf_index(table, spark, vec_col, nlist)
     return ivf_topk(
         table.scan(spark, columns=[id_col, vec_col]), queries,

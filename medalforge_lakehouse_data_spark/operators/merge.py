@@ -192,7 +192,7 @@ def merge_into(
         )
         out = _write_and_commit(
             table, spark, result, affected, prune_metrics, src_count,
-            keys, commit_key, cols, t0, plan_seq,
+            keys, commit_key, cols, t0, plan_seq, source=source,
         )
         source.unpersist()
         return out
@@ -245,7 +245,7 @@ def merge_into(
         result = result.unionByName(p)
     out = _write_and_commit(
         table, spark, result, affected, prune_metrics, src_count,
-        keys, commit_key, cols, t0, plan_seq,
+        keys, commit_key, cols, t0, plan_seq, source=source,
     )
     source.unpersist()
     return out
@@ -345,7 +345,8 @@ def _conditional_merge_rows(
 
 
 def _write_and_commit(table, spark, result, affected, prune_metrics, src_count,
-                      keys, commit_key, cols, t0, plan_seq=None) -> dict:
+                      keys, commit_key, cols, t0, plan_seq=None,
+                      source=None) -> dict:
     """Shared MERGE tail: size outputs, preserve any recorded clustering
     layout, write the replacement files, and commit the rewrite."""
     # size outputs to the incoming data volume; the rows-based floor covers
@@ -374,7 +375,15 @@ def _write_and_commit(table, spark, result, affected, prune_metrics, src_count,
     target_file_bytes = int(props.get("write.target-file-bytes", 128 * 1024 * 1024))
     cluster_target = int(props.get("cluster.target-file-bytes", target_file_bytes))
     rekey_min = int(props.get("merge.cluster-rekey-min-bytes", 4 * cluster_target))
-    if cl_cols and all(c in cols for c in cl_cols) and bytes_affected >= rekey_min:
+    # size the trickle test on the RESULT estimate, not just affected
+    # bytes: an insert-heavy merge (bytes_affected ~ 0, huge source) must
+    # still be re-keyed or the whole new data lands unsorted
+    snap = table.metadata().current_snapshot()
+    tb, tr = ((snap.summary.get("total_bytes", 0), snap.summary.get("total_rows", 0))
+              if snap else (0, 0))
+    avg_row_bytes = (tb / tr) if tr else 0
+    est_result_bytes = bytes_affected + int(src_count * avg_row_bytes)
+    if cl_cols and all(c in cols for c in cl_cols) and est_result_bytes >= rekey_min:
         from medalforge_lakehouse_data_spark.maintenance.clustering import (
             column_bounds,
             with_curve_key,
@@ -393,7 +402,7 @@ def _write_and_commit(table, spark, result, affected, prune_metrics, src_count,
     rows_per_file = int(props.get("write.target-rows-per-file", 1_000_000))
     n_out = max(
         1,
-        round((bytes_affected * 1.2) / target_file_bytes),
+        round((est_result_bytes * 1.2) / target_file_bytes),
         math.ceil(rows_est / max(1, rows_per_file)),
     )
     if sort_within is not None and bounds is not None:
@@ -408,11 +417,17 @@ def _write_and_commit(table, spark, result, affected, prune_metrics, src_count,
             write_range_partitioned,
         )
 
-        keys_only = with_curve_key(
-            table.read_entries(spark, affected).select(*cl_cols),
-            cl_cols, bounds, curve,
-        )
-        bnds = curve_boundaries(keys_only, n_out)
+        keys_only = None
+        if affected:
+            keys_only = table.read_entries(spark, affected).select(*cl_cols)
+        if source is not None and all(c in source.columns for c in cl_cols):
+            # insert-heavy merges: the (cached) source contributes most of
+            # the result rows — include its keys or the quantiles skew
+            src_keys = source.select(*cl_cols)
+            keys_only = src_keys if keys_only is None else keys_only.unionByName(src_keys)
+        bnds = (curve_boundaries(with_curve_key(keys_only, cl_cols, bounds, curve),
+                                 n_out)
+                if keys_only is not None else [])
         added = write_range_partitioned(
             table, spark, result, n_out, bnds, sort_within
         )

@@ -286,19 +286,19 @@ def audio_features_udf(sample_rate: int = 16000):
 
     @pandas_udf(feat_t)
     def _features(data: pd.Series, fmt: pd.Series) -> pd.DataFrame:
+        # per-ROW failure isolation: a corrupt blob or unregistered fmt
+        # yields a null struct for that row (quarantine-able downstream),
+        # never a batch-killing raise — same contract as frame_sample_udf
         durs, rms = [], []
         for b, f in zip(data, fmt):
             spec = reg.get(f)
-            if spec is None or spec.audio_features is None:
-                raise NotImplementedError(
-                    f"no audio codec registered for {f!r}; plug one in via "
-                    "register_codec(CodecSpec(fmt, decode=..., "
-                    "audio_features=...))"
-                )
-            if b is None:
+            if b is None or spec is None or spec.audio_features is None:
                 durs.append(None); rms.append(None)
                 continue
-            d, r = spec.audio_features(bytes(b))
+            try:
+                d, r = spec.audio_features(bytes(b))
+            except Exception:
+                d = r = None
             durs.append(d); rms.append(r)
         return pd.DataFrame({"duration_s": durs, "rms": rms})
 

@@ -298,8 +298,8 @@ def test_bucket_partition_spec_merge_pruning(spark, tmp_path):
     df = spark.createDataFrame([(i, i % 4, f"v{i}") for i in range(4000)], UNIFORM)
     t.append(spark, df, target_file_count=2, sort_within=["grp"])
     entries = t.files()
-    assert all("id_bucket" in e.partition for e in entries)
-    assert len({e.partition["id_bucket"] for e in entries}) == 8
+    assert all("id_bucket_8" in e.partition for e in entries)
+    assert len({e.partition["id_bucket_8"] for e in entries}) == 8
 
     src = spark.createDataFrame([(7, 3, "new7"), (123, 3, "new123")], UNIFORM)
     m = merge_into(t, src, ["id"], spark)
@@ -312,7 +312,7 @@ def test_bucket_partition_spec_merge_pruning(spark, tmp_path):
     # scans: filter on the synthetic field prunes partitions exactly;
     # filter on the source column still row-filters correctly
     mx: dict = {}
-    got = t.scan(spark, filters=[("id_bucket", "=", entries[0].partition["id_bucket"])],
+    got = t.scan(spark, filters=[("id_bucket_8", "=", entries[0].partition["id_bucket_8"])],
                  metrics_out=mx)
     assert mx["files_kept"] < mx["files_total"]
     assert got.count() > 0

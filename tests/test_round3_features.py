@@ -54,8 +54,8 @@ def test_spec_evolution_bucket_prunes_merge(spark, tmp_path):
     t.append(spark, spark.createDataFrame(
         [(i, f"new_{i}") for i in range(200, 1000)], SIMPLE))
     new_entries = [e for e in t.files(content="data") if e.path not in old_paths]
-    assert new_entries and all("k_bucket" in e.partition for e in new_entries)
-    assert len({e.partition["k_bucket"] for e in new_entries}) == 8
+    assert new_entries and all("k_bucket_8" in e.partition for e in new_entries)
+    assert len({e.partition["k_bucket_8"] for e in new_entries}) == 8
 
     # trickle merge on 3 keys in the NEW range: the bucket tier must keep
     # only the buckets those keys hash into (plus conservatively any old
@@ -184,9 +184,11 @@ def test_codec_registry_plugin_path(spark):
         assert by_id[1] is not None and len(by_id[1]) == 1
         assert by_id[2] is None  # unregistered → null, quarantine-able
 
-        feats = df.filter("fmt = 'jpeg'").withColumn(
-            "f", mm.audio_features_udf()("data", "fmt")).select("f.*").collect()
-        assert feats[0].rms == 0.5 and feats[0].duration_s > 0
+        feats = {r.id: r for r in df.withColumn(
+            "f", mm.audio_features_udf()("data", "fmt")).select("id", "f.*").collect()}
+        assert feats[1].rms == 0.5 and feats[1].duration_s > 0
+        # unregistered fmt → null features for THAT row, not a batch kill
+        assert feats[2].rms is None and feats[2].duration_s is None
     finally:
         mm.unregister_codec("jpeg")
 
@@ -288,3 +290,26 @@ def test_cross_process_commit_contention(spark, tmp_path):
     rows = {r.k: r.val for r in t.scan(spark).collect()}
     assert len(rows) == 2 * n_each
     assert rows[10000] == "w1_0" and rows[2 * 10000 + n_each - 1] == f"w2_{n_each - 1}"
+
+
+def test_rebucket_width_evolution_does_not_lose_merge_updates(spark, tmp_path):
+    """bucket(k,8) -> bucket(k,16): the modulus is part of the partition
+    field name (k_bucket_8 vs k_bucket_16), so a merge's new-width bucket
+    filter can never be point-compared against old files' mod-8 values —
+    old-spec files fall back to column stats and are kept, not silently
+    pruned (which lost updates / inserted duplicates)."""
+    t = Table.create(str(tmp_path / "t"), SIMPLE,
+                     partition_spec=["bucket(k, 8)"])
+    t.append(spark, spark.createDataFrame(
+        [(i, f"old_{i}") for i in range(400)], SIMPLE), target_file_count=4)
+    t.update_partition_spec(["bucket(k, 16)"])
+    t.append(spark, spark.createDataFrame(
+        [(i, f"new_{i}") for i in range(400, 800)], SIMPLE))
+
+    # update keys living in OLD-spec (mod-8) files through the new spec
+    upd = spark.createDataFrame([(k, f"v2_{k}") for k in (7, 123, 399)], SIMPLE)
+    merge_into(t, upd, ["k"], spark)
+    rows = {r.k: r.val for r in t.scan(spark).collect()}
+    assert len(rows) == 800, "duplicate or lost keys after re-bucket merge"
+    for k in (7, 123, 399):
+        assert rows[k] == f"v2_{k}"

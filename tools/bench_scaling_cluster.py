@@ -40,11 +40,13 @@ BUILD_CPUS = int(os.environ.get("SCALING_BUILD_CPUS", "16"))
 
 
 def _fingerprint(spark, df):
+    # order-insensitive content fingerprint: bit_xor of per-row hashes
+    # (overflow-free regardless of ANSI mode, unlike a sum)
     from pyspark.sql import functions as F
 
     row = df.select(
         F.count("*").alias("n"),
-        F.sum(F.xxhash64("image_id", "phash", F.length("bytes"))).alias("fp"),
+        F.expr("bit_xor(xxhash64(image_id, phash, length(bytes)))").alias("fp"),
     ).collect()[0]
     return int(row["n"]), int(row["fp"] or 0)
 
