@@ -38,16 +38,11 @@ def _splitmix64(x: np.ndarray) -> np.ndarray:
     return z ^ (z >> np.uint64(31))
 
 
-def hash_values(values) -> np.ndarray:
-    """64-bit hashes of a value sequence (numpy fast-path for ints)."""
-    arr = np.asarray(values)
-    if arr.dtype.kind in ("i", "u"):
-        return _splitmix64(arr.astype(np.int64).view(np.uint64))
-    if arr.dtype.kind == "f" and arr.size and np.all(np.isfinite(arr)) \
-            and np.all(arr == np.floor(arr)):
-        # Integral floats (an int column that went through a null-bearing
-        # pandas round-trip) must hash like the ints the planner probes with.
-        return _splitmix64(arr.astype(np.int64).view(np.uint64))
+_INT64_MIN_F = -9.223372036854776e18
+_INT64_MAX_F = 9.223372036854776e18
+
+
+def _hash_str_values(arr: np.ndarray) -> np.ndarray:
     out = np.empty(len(arr), dtype=np.uint64)
     for i, v in enumerate(arr):
         b = str(v).encode("utf-8", "ignore")
@@ -55,6 +50,35 @@ def hash_values(values) -> np.ndarray:
         lo = zlib.crc32(b, 0xFFFFFFFF)
         out[i] = (np.uint64(hi) << np.uint64(32)) | np.uint64(lo)
     return _splitmix64(out)
+
+
+def hash_values(values) -> np.ndarray:
+    """64-bit hashes of a value sequence (numpy fast-path for ints).
+
+    Float handling is decided PER VALUE, not per array: an integral
+    float (an int column that went through a null-bearing pandas
+    round-trip) hashes like the int64 it denotes no matter what other
+    values share the array. A per-array decision would make a mixed
+    integral/fractional build str-hash its integral keys while an
+    all-integral probe set splitmix-hashes them — bloom false
+    negatives, i.e. silent merge mis-pruning.
+    """
+    arr = np.asarray(values)
+    if arr.dtype.kind in ("i", "u"):
+        return _splitmix64(arr.astype(np.int64).view(np.uint64))
+    if arr.dtype.kind == "f":
+        with np.errstate(invalid="ignore"):
+            integral = (np.isfinite(arr) & (arr == np.floor(arr))
+                        & (arr >= _INT64_MIN_F) & (arr < _INT64_MAX_F))
+        out = np.empty(len(arr), dtype=np.uint64)
+        if integral.any():
+            out[integral] = _splitmix64(
+                arr[integral].astype(np.int64).view(np.uint64))
+        rest = ~integral
+        if rest.any():
+            out[rest] = _hash_str_values(arr[rest])
+        return out
+    return _hash_str_values(arr)
 
 
 def _indices(h64: np.ndarray, k: int, m: int) -> np.ndarray:

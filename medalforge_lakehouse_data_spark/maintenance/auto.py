@@ -41,6 +41,12 @@ class MaintenancePolicy:
     # a trickle-MoR workload degrades reads until they are folded
     # (round-2 VERDICT missing #4). 0 disables.
     max_delete_files: int = 4
+    # retrain a persisted IVF index once the live corpus exceeds the row
+    # count it was trained on by this factor — without it, recall drifts
+    # silently on an append-heavy corpus (round-3 VERDICT missing #3).
+    # 0 disables. Metadata-only check (manifest row counts vs the
+    # ann.ivf.trained-rows.* property).
+    ivf_retrain_factor: float = 2.0
 
 
 def appends_since_last_compact(table: Table) -> int:
@@ -106,6 +112,26 @@ def maybe_maintain(
             # the append-counter trigger
             if dm.get("files_out"):
                 _recluster_incremental("cluster-postfold")
+
+    # IVF staleness: retrain any persisted index whose corpus has grown
+    # past trained_rows * factor. The check is metadata-only (manifest
+    # row sums vs the trained-rows property); only a firing trigger
+    # costs a training job (bounded Bernoulli sample, see ann.py).
+    if policy.ivf_retrain_factor:
+        from medalforge_lakehouse_data_spark.operators import ann
+
+        indexes = ann.list_ivf_indexes(table)
+        if indexes:
+            live_rows = sum(e.rows for e in table.files(content="data"))
+            retrained = []
+            for col, nlist, trained_rows in indexes:
+                if trained_rows and live_rows >= trained_rows * policy.ivf_retrain_factor:
+                    ann.build_ivf_index(table, spark, col, nlist)
+                    retrained.append({"vec_col": col, "nlist": nlist,
+                                      "trained_rows": trained_rows,
+                                      "live_rows": live_rows})
+            if retrained:
+                out["ivf_retrained"] = retrained
 
     n_appends = appends_since_last_compact(table)
     out["appends_since_compact"] = n_appends

@@ -258,34 +258,9 @@ def cluster_rewrite(
     is recorded in table properties so MERGE can preserve the layout."""
     t0 = time.monotonic()
     job_id = job_id or f"cluster-{int(time.time())}"
-    all_files = table.files(snapshot_id, content="data")
-    tag = {"curve": curve, "columns": list(columns)}
-    if mode == "incremental":
-        files = [e for e in all_files if e.cluster != tag]
-        if len(files) < min_input_files:
-            return {"job_id": job_id, "files_in": 0, "files_out": 0,
-                    "skipped": len(files), "seconds": 0.0}
-    elif mode == "full":
-        files = all_files
-    else:
+    if mode not in ("full", "incremental"):
         raise ValueError(f"mode must be full|incremental, got {mode!r}")
-    if not files:
-        return {"job_id": job_id, "files_in": 0, "files_out": 0, "seconds": 0.0}
-    total_bytes = sum(e.bytes for e in files)
-    n_out = max(1, math.ceil(total_bytes / target_file_bytes))
-    # global bounds from ALL files (incremental output must share the
-    # full-table normalization so runs overlay consistently)
-    bounds = column_bounds(table, columns, snapshot_id)
-    # numeric bounds required; fall back to a distributed agg if stats absent
-    missing = [c for c in columns if bounds[c][0] is None]
-    if missing:
-        agg = table.scan(spark, snapshot_id).agg(
-            *[F.min(c).alias(f"mn_{c}") for c in missing],
-            *[F.max(c).alias(f"mx_{c}") for c in missing],
-        ).collect()[0]
-        for c in missing:
-            bounds[c] = (agg[f"mn_{c}"], agg[f"mx_{c}"])
-
+    tag = {"curve": curve, "columns": list(columns)}
     # Skew guard: with Zipf-heavy keys (one phash = 25% of rows) the range
     # partitioner's sampled boundaries collapse onto the hot key and most
     # output partitions come out empty. A deterministic high-cardinality
@@ -304,15 +279,44 @@ def cluster_rewrite(
     })
     # Read→rewrite must detect a MoR delete committed in between (the
     # rewritten rows' fresh seq would escape it — round-2 ADVICE #2):
-    # validate_from_sequence fails the commit, and the unit re-reads.
+    # validate_from_sequence fails the commit, and the unit re-plans.
+    # Planning (file listing, bounds, boundaries) lives INSIDE the retry
+    # loop and the read is pinned to the planned entries: a live
+    # table.scan() here would fold a concurrently appended file's rows
+    # into the rewrite while removed_paths — captured at listing time —
+    # left that file referenced, duplicating its rows (round-3 ADVICE #2).
     for attempt in range(5):
+        all_files = table.files(snapshot_id, content="data")
+        if mode == "incremental":
+            files = [e for e in all_files if e.cluster != tag]
+            if len(files) < min_input_files:
+                return {"job_id": job_id, "files_in": 0, "files_out": 0,
+                        "skipped": len(files), "seconds": 0.0}
+        else:
+            files = all_files
+        if not files:
+            return {"job_id": job_id, "files_in": 0, "files_out": 0,
+                    "seconds": 0.0}
+        total_bytes = sum(e.bytes for e in files)
+        n_out = max(1, math.ceil(total_bytes / target_file_bytes))
+        # global bounds from ALL files (incremental output must share the
+        # full-table normalization so runs overlay consistently)
+        bounds = column_bounds(table, columns, snapshot_id)
+        # numeric bounds required; fall back to a distributed agg if absent
+        missing = [c for c in columns if bounds[c][0] is None]
+        if missing:
+            agg = table.read_entries(spark, all_files).agg(
+                *[F.min(c).alias(f"mn_{c}") for c in missing],
+                *[F.max(c).alias(f"mx_{c}") for c in missing],
+            ).collect()[0]
+            for c in missing:
+                bounds[c] = (agg[f"mn_{c}"], agg[f"mx_{c}"])
         plan_seq = (snapshot_id if snapshot_id is not None
                     else table.metadata().last_sequence)
-        if mode == "incremental" and len(files) < len(all_files):
-            # schema-evolution-safe: aligns files written under older versions
-            df = table.read_entries(spark, files)
-        else:
-            df = table.scan(spark, snapshot_id)
+        # schema-evolution-safe entry-pinned read (full mode included):
+        # aligns files written under older versions and still applies
+        # deletes newer than the planned entries
+        df = table.read_entries(spark, files)
         keyed = with_curve_key(df, columns, bounds, curve)
         keyed = keyed.withColumn("_ztie", F.xxhash64(*[F.col(c) for c in non_binary]))
         # Boundaries from a keys-only pass (cluster columns pruned at the

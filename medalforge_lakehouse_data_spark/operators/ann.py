@@ -177,7 +177,8 @@ def centroids_from_property(prop: str) -> np.ndarray:
     return np.frombuffer(base64.b64decode(payload), dtype=np.float64).reshape(rows, cols)
 
 
-IVF_PROP = "ann.ivf.centroids"  # + ".<vec_col>" suffix per column
+IVF_PROP = "ann.ivf.centroids"       # + ".<vec_col>.<nlist>" per index
+IVF_ROWS_PROP = "ann.ivf.trained-rows"  # + ".<vec_col>.<nlist>": corpus size at train
 
 
 def build_ivf_index(
@@ -193,7 +194,14 @@ def build_ivf_index(
     serialization helpers existed but nothing wired them through the
     Table, so every ivf_topk call retrained). Retraining = calling this
     again; ``ivf_topk_on_table`` / ``load_ivf_index`` pick the persisted
-    index up automatically."""
+    index up automatically.
+
+    The property key carries the nlist (``ann.ivf.centroids.<col>.<n>``)
+    so two callers using different cell counts get two coexisting
+    indexes instead of clobbering each other's on every call (round-3
+    ADVICE #3). The corpus row count at train time is recorded alongside
+    (``ann.ivf.trained-rows.<col>.<n>``) so maintenance can detect a
+    stale index as the table grows (see maintenance/auto.py)."""
     # exact corpus size from manifest row counts — no count() pass; note
     # MoR delete files may make this an overestimate, which only lowers
     # the sample fraction slightly (sampling stays uniform)
@@ -202,13 +210,49 @@ def build_ivf_index(
         table.scan(spark, columns=[vec_col]), vec_col, nlist,
         sample_rows=sample_rows, seed=seed, n_rows=n_rows,
     )
-    table.set_properties({f"{IVF_PROP}.{vec_col}": centroids_to_property(cents)})
+    table.set_properties({
+        f"{IVF_PROP}.{vec_col}.{nlist}": centroids_to_property(cents),
+        f"{IVF_ROWS_PROP}.{vec_col}.{nlist}": str(n_rows),
+    })
     return cents
 
 
-def load_ivf_index(table, vec_col: str = "embedding") -> np.ndarray | None:
-    prop = table.metadata().properties.get(f"{IVF_PROP}.{vec_col}")
-    return centroids_from_property(prop) if prop else None
+def load_ivf_index(table, vec_col: str = "embedding",
+                   nlist: int | None = None) -> np.ndarray | None:
+    """Load a persisted IVF index. ``nlist=None`` resolves only when the
+    column has exactly one persisted index (ambiguity raises)."""
+    props = table.metadata().properties
+    if nlist is not None:
+        prop = props.get(f"{IVF_PROP}.{vec_col}.{nlist}")
+        return centroids_from_property(prop) if prop else None
+    prefix = f"{IVF_PROP}.{vec_col}."
+    hits = [k for k in props if k.startswith(prefix)
+            and k[len(prefix):].isdigit()]
+    if not hits:
+        return None
+    if len(hits) > 1:
+        raise ValueError(
+            f"multiple IVF indexes persisted for {vec_col!r} "
+            f"(nlist in {sorted(int(k[len(prefix):]) for k in hits)}); "
+            "pass nlist= to pick one")
+    return centroids_from_property(props[hits[0]])
+
+
+def list_ivf_indexes(table) -> list[tuple[str, int, int]]:
+    """(vec_col, nlist, trained_rows) for every persisted IVF index."""
+    props = table.metadata().properties
+    prefix = f"{IVF_PROP}."
+    out = []
+    for k in props:
+        if not k.startswith(prefix):
+            continue
+        rest = k[len(prefix):]
+        col, _, n = rest.rpartition(".")
+        if not (col and n.isdigit()):
+            continue
+        rows = int(props.get(f"{IVF_ROWS_PROP}.{col}.{n}", "0"))
+        out.append((col, int(n), rows))
+    return sorted(out)
 
 
 def ivf_topk_on_table(
@@ -224,12 +268,10 @@ def ivf_topk_on_table(
     n_probe: int = 4,
 ) -> DataFrame:
     """IVF top-k against a Table, auto-loading (or training and
-    persisting) the centroid index from table properties. A persisted
-    index whose cell count differs from the requested ``nlist`` is
-    retrained — silently serving 8 cells when the caller sized probes
-    for 64 would change the scanned fraction per query."""
-    cents = load_ivf_index(table, vec_col)
-    if cents is None or cents.shape[0] != nlist:
+    persisting) the centroid index from table properties. Indexes are
+    keyed per (vec_col, nlist), so differently-sized callers coexist."""
+    cents = load_ivf_index(table, vec_col, nlist)
+    if cents is None:
         cents = build_ivf_index(table, spark, vec_col, nlist)
     return ivf_topk(
         table.scan(spark, columns=[id_col, vec_col]), queries,

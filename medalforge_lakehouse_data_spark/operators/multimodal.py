@@ -269,12 +269,14 @@ def frame_sample_udf(n_frames: int = 4):
     return _sample
 
 
-def audio_features_udf(sample_rate: int = 16000):
+def audio_features_udf():
     """Audio feature extraction over (binary, fmt) columns. The schema is
     the real contract (binary → struct of features, Arrow-batched);
     per-format extraction dispatches through the codec registry — no
     audio library ships in this container, so without a registered
-    CodecSpec.audio_features the row raises (quarantine-able), while a
+    CodecSpec.audio_features the row yields a NULL struct (filter
+    ``duration_s IS NULL`` downstream to quarantine — same per-row
+    contract as frame_sample_udf, never a batch-killing raise), while a
     soundfile/librosa-backed registration needs zero code edits."""
     feat_t = StructType(
         [

@@ -1,0 +1,203 @@
+"""Round-4 ADVICE regression tests.
+
+1. bloom per-VALUE float fast-path: a mixed integral/fractional float
+   build must still accept an all-integral probe (per-array decisions
+   produced bloom false negatives → silent merge mis-pruning).
+2. full-mode cluster_rewrite pins its read to the planned entries and
+   re-plans inside the retry loop: a concurrent append landing between
+   listing and read (or during a conflict-retry window) must appear
+   exactly once in the final table, never duplicated.
+3. IVF indexes are keyed per (vec_col, nlist): two cell counts coexist
+   instead of clobber-retraining each other; maintenance retrains a
+   stale index once the corpus doubles.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+from medalforge_lakehouse_data_spark.format.bloom import Bloom, hash_values
+from medalforge_lakehouse_data_spark.format.table import Table
+from medalforge_lakehouse_data_spark.maintenance import clustering
+from medalforge_lakehouse_data_spark.maintenance.auto import (
+    MaintenancePolicy,
+    maybe_maintain,
+)
+from medalforge_lakehouse_data_spark.operators import ann
+from medalforge_lakehouse_data_spark.operators.merge import merge_into
+
+SIMPLE = StructType([
+    StructField("k", LongType()),
+    StructField("v", StringType()),
+])
+
+
+# ------------------------------------------------- 1. bloom per-value hashing
+
+
+def test_bloom_mixed_float_build_accepts_integral_probe():
+    """File column [1.0, 2.5, 3.0, nan] vs planner probe [1, 3] (ints):
+    the integral floats must hash on the int path regardless of their
+    fractional neighbors."""
+    build = np.array([1.0, 2.5, 3.0, float("nan")], dtype=np.float64)
+    b = Bloom.build(build)
+    got = b.may_contain(np.array([1, 3], dtype=np.int64))
+    assert bool(got.all()), "mixed-array build str-hashed its integral keys"
+    # and the fractional value still matches a float probe
+    assert bool(b.may_contain(np.array([2.5]))[0])
+
+
+def test_bloom_int_build_accepts_mixed_float_probe():
+    b = Bloom.build(np.arange(20, dtype=np.int64))
+    probe = np.array([4.0, 7.5, 11.0], dtype=np.float64)
+    got = b.may_contain(probe)
+    assert bool(got[0]) and bool(got[2])
+
+
+def test_hash_values_per_element_composition_invariance():
+    """hash(x) must not depend on what else is in the array."""
+    mixed = hash_values(np.array([1.0, 2.5, 3.0]))
+    assert mixed[0] == hash_values(np.array([1.0]))[0]
+    assert mixed[0] == hash_values(np.array([1], dtype=np.int64))[0]
+    assert mixed[1] == hash_values(np.array([2.5]))[0]
+    assert mixed[2] == hash_values(np.array([3.0, 4.0]))[0]
+
+
+def test_hash_values_huge_and_nonfinite_floats_stable():
+    # out-of-int64-range / non-finite floats take the str path, both sides
+    vals = np.array([1e19, float("inf"), float("nan")])
+    a = hash_values(vals)
+    b = np.array([hash_values(vals[i:i + 1])[0] for i in range(3)])
+    assert (a == b).all()
+
+
+# ---------------------------- 2. cluster full-mode vs concurrent append
+
+
+def _mk_table(spark, path, n=40, files=4):
+    t = Table.create(path, SIMPLE)
+    per = n // files
+    for i in range(files):
+        t.append(spark, spark.createDataFrame(
+            [(i * per + j, f"v{i * per + j}") for j in range(per)], SIMPLE))
+    return t
+
+
+def test_cluster_full_mode_concurrent_append_not_duplicated(
+        spark, tmp_path, monkeypatch):
+    """An append landing between the full-mode file listing and the read
+    must NOT be folded into the rewrite while its file stays referenced
+    (that duplicated its rows). The read is pinned to planned entries."""
+    t = _mk_table(spark, str(tmp_path / "t"))
+    real_read = Table.read_entries
+    fired = {"done": False}
+
+    def racing_read(self, spark_, entries, apply_deletes=True):
+        if not fired["done"]:
+            fired["done"] = True
+            Table(self.root).append(
+                spark, spark.createDataFrame([(1000, "late")], SIMPLE))
+        return real_read(self, spark_, entries, apply_deletes)
+
+    monkeypatch.setattr(Table, "read_entries", racing_read)
+    m = clustering.cluster_rewrite(t, spark, columns=("k",), mode="full")
+    assert m["files_out"] >= 1
+    rows = t.scan(spark).collect()
+    ks = [r.k for r in rows]
+    assert len(ks) == len(set(ks)) == 41, \
+        f"expected 41 unique keys, got {len(ks)} rows / {len(set(ks))} unique"
+    assert 1000 in set(ks)
+
+
+def test_cluster_full_mode_replans_on_conflict_retry(
+        spark, tmp_path, monkeypatch):
+    """A MoR delete forces a conflict-retry; an append in the same window
+    must be picked up by the RE-PLAN (fresh listing), appearing exactly
+    once, while the delete applies."""
+    t = _mk_table(spark, str(tmp_path / "t"))
+    real_read = Table.read_entries
+    fired = {"done": False}
+
+    def racing_read(self, spark_, entries, apply_deletes=True):
+        df = real_read(self, spark_, entries, apply_deletes)
+        if not fired["done"]:
+            fired["done"] = True
+            other = Table(self.root)
+            merge_into(other, spark.createDataFrame([(7, "x")], SIMPLE),
+                       ["k"], spark, when_matched="delete",
+                       when_not_matched=None, strategy="merge-on-read")
+            other.append(
+                spark, spark.createDataFrame([(2000, "late")], SIMPLE))
+            df = df.cache()
+            df.count()  # materialize the stale read
+        return df
+
+    monkeypatch.setattr(Table, "read_entries", racing_read)
+    clustering.cluster_rewrite(t, spark, columns=("k",), mode="full")
+    ks = [r.k for r in t.scan(spark).collect()]
+    assert len(ks) == len(set(ks)), "retry duplicated rows"
+    assert 7 not in set(ks), "retry resurrected a MoR-deleted row"
+    assert 2000 in set(ks)
+    assert len(ks) == 40  # 40 - 1 deleted + 1 appended
+
+
+# ----------------------------------- 3. IVF per-nlist keys + staleness
+
+
+@pytest.fixture()
+def emb_table(spark, tmp_path):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet") \
+        .selectExpr("vec_id",
+                    "transform(embedding, x -> cast(x as double)) as embedding")
+    t = Table.create(str(tmp_path / "emb"), emb.schema)
+    t.append(spark, emb)
+    return t, emb
+
+
+def test_ivf_indexes_coexist_per_nlist(spark, emb_table, monkeypatch):
+    t, emb = emb_table
+    c4 = ann.build_ivf_index(t, spark, "embedding", nlist=4, sample_rows=2000)
+    c8 = ann.build_ivf_index(t, spark, "embedding", nlist=8, sample_rows=2000)
+    assert ann.load_ivf_index(t, "embedding", 4).shape == (4, c4.shape[1])
+    assert ann.load_ivf_index(t, "embedding", 8).shape == (8, c8.shape[1])
+    # ambiguous no-nlist load raises instead of guessing
+    with pytest.raises(ValueError, match="multiple IVF indexes"):
+        ann.load_ivf_index(t, "embedding")
+    assert {(c, n) for c, n, _ in ann.list_ivf_indexes(t)} == {
+        ("embedding", 4), ("embedding", 8)}
+
+    # neither caller retrains: both indexes persist
+    def boom(*a, **kw):
+        raise AssertionError("retrained despite persisted per-nlist index")
+
+    monkeypatch.setattr(ann, "train_ivf_centroids", boom)
+    q = emb.limit(2).selectExpr("vec_id as query_id", "embedding as query_vec")
+    assert ann.ivf_topk_on_table(t, spark, q, k=3, nlist=4, n_probe=4).count() == 6
+    assert ann.ivf_topk_on_table(t, spark, q, k=3, nlist=8, n_probe=8).count() == 6
+
+
+def test_ivf_staleness_retrains_when_corpus_doubles(spark, emb_table, monkeypatch):
+    t, emb = emb_table
+    ann.build_ivf_index(t, spark, "embedding", nlist=4, sample_rows=2000)
+    (_, _, trained0), = ann.list_ivf_indexes(t)
+    assert trained0 > 0
+
+    # below the 2x threshold: no retrain
+    policy = MaintenancePolicy(compact_after_appends=10_000,
+                               max_delete_files=0)
+    def boom(*a, **kw):
+        raise AssertionError("retrained below staleness threshold")
+    monkeypatch.setattr(ann, "train_ivf_centroids", boom)
+    out = maybe_maintain(t, spark, policy)
+    assert "ivf_retrained" not in out
+    monkeypatch.undo()
+
+    # append past 2x trained rows → maybe_maintain retrains + restamps
+    t.append(spark, emb)
+    t.append(spark, emb.withColumn("vec_id", emb.vec_id + 1_000_000))
+    out = maybe_maintain(t, spark, policy)
+    assert out.get("ivf_retrained"), "stale IVF index not retrained"
+    (_, _, trained1), = ann.list_ivf_indexes(t)
+    assert trained1 >= 3 * trained0 - 3
