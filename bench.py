@@ -159,6 +159,9 @@ def bench_maintenance(spark, timings: dict, extra: dict) -> None:
         dt = time.monotonic() - t0
         timings["maint_merge"] = round(dt, 3)
         extra["merge_affected_files"] = f"{mm['affected_files']}/{mm['files_total']}"
+        # "recorded" = re-key served from cluster.* properties (no
+        # per-merge percentile job); "computed" = fresh keys-only pass
+        extra["merge_rekey_boundaries"] = mm.get("rekey_boundaries")
 
         # TRICKLE MERGE: a dozen keys against a table clustered on phash —
         # image_id is uniform per file, so only the per-file key blooms
@@ -223,10 +226,11 @@ def main():
     timings: dict = {}
     extra: dict = {}
     t_all = time.monotonic()
-    bench_queries(spark, timings)
-    # drop caches left by dedup/minhash query plans so the maintenance
-    # phase is measured on a quiet executor
-    spark.catalog.clearCache()
+    if os.environ.get("BENCH_ONLY_MAINTENANCE") != "1":
+        bench_queries(spark, timings)
+        # drop caches left by dedup/minhash query plans so the maintenance
+        # phase is measured on a quiet executor
+        spark.catalog.clearCache()
     if os.environ.get("BENCH_SKIP_MAINTENANCE") != "1":
         bench_maintenance(spark, timings, extra)
     total = round(time.monotonic() - t_all, 3)
@@ -248,17 +252,21 @@ def orchestrate(rounds: int) -> None:
     BENCH_BUDGET_S (default 1500): stop launching further rounds once the
     elapsed wall clock exceeds the budget — on a badly contended host a
     single round can take 4-5x its quiet time, and two completed rounds
-    with minima beat a killed process with none."""
+    with minima beat a killed process with none.
+
+    High-variance backstop (round-3 VERDICT #1b): the maintenance suite
+    is the most shuffle/IO-heavy part and min-of-3 sometimes fails to
+    squeeze host noise out of it (maint_merge read 12.9 s in the round-3
+    driver artifact vs 4.2 s quiet). When the per-round maintenance
+    subtotals still spread > BENCH_MAINT_SPREAD (default 1.5x), spend
+    remaining budget on up to BENCH_EXTRA_MAINT_ROUNDS (default 2)
+    maintenance-ONLY worker rounds and fold their minima in."""
     import subprocess
 
     budget_s = float(os.environ.get("BENCH_BUDGET_S", "1500"))
     t_start = time.monotonic()
-    results = []
-    for i in range(rounds):
-        if results and time.monotonic() - t_start > budget_s:
-            print(f"round {i}: skipped (past {budget_s:.0f}s budget)",
-                  file=sys.stderr)
-            break
+
+    def run_worker(i, env_extra=None):
         # wait for stray JVMs so rounds don't poison each other
         for _ in range(30):
             n = subprocess.run(["pgrep", "-c", "java"],
@@ -266,9 +274,11 @@ def orchestrate(rounds: int) -> None:
             if n.stdout.strip() in ("", "0"):
                 break
             time.sleep(2)
+        env = dict(os.environ)
+        env.update(env_extra or {})
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--worker"],
-            capture_output=True, text=True,
+            capture_output=True, text=True, env=env,
             cwd=os.path.dirname(os.path.abspath(__file__)),
         )
         lines = [ln for ln in out.stdout.strip().splitlines()
@@ -276,18 +286,58 @@ def orchestrate(rounds: int) -> None:
         if not lines:
             print(f"round {i}: worker failed\n{out.stderr[-2000:]}",
                   file=sys.stderr)
+            return None
+        return json.loads(lines[-1])
+
+    results = []
+    for i in range(rounds):
+        if results and time.monotonic() - t_start > budget_s:
+            print(f"round {i}: skipped (past {budget_s:.0f}s budget)",
+                  file=sys.stderr)
+            break
+        r = run_worker(i)
+        if r is None:
             continue
-        r = json.loads(lines[-1])
         results.append(r)
         print(f"round {i}: total {r['value']}s", file=sys.stderr)
     if not results:
         raise SystemExit("all bench rounds failed")
-    qnames = list(results[0]["queries"].keys())
+
+    maint_keys = [q for q in results[0]["queries"] if q not in HEADLINE]
+    extra_results = []
+    if maint_keys and len(results) > 1:
+        subtotals = [sum(r["queries"].get(q, 0.0) for q in maint_keys)
+                     for r in results]
+        spread = max(subtotals) / max(1e-9, min(subtotals))
+        max_extra = int(os.environ.get("BENCH_EXTRA_MAINT_ROUNDS", "2"))
+        threshold = float(os.environ.get("BENCH_MAINT_SPREAD", "1.5"))
+        for j in range(max_extra):
+            if spread <= threshold or time.monotonic() - t_start > budget_s:
+                break
+            r = run_worker(f"maint-extra-{j}",
+                           {"BENCH_ONLY_MAINTENANCE": "1"})
+            if r is None:
+                continue
+            extra_results.append(r)
+            sub = sum(r["queries"].get(q, 0.0) for q in maint_keys)
+            subtotals.append(sub)
+            spread = max(subtotals[:len(results)]) / max(1e-9, min(subtotals))
+            print(f"maint-extra {j}: subtotal {round(sub, 3)}s",
+                  file=sys.stderr)
+    n_main = len(results)
+    # extra rounds contribute ONLY maintenance-stage minima
+    all_results = results + [
+        {**r, "queries": {q: v for q, v in r["queries"].items()
+                          if q in maint_keys}}
+        for r in extra_results
+    ]
+    qnames = [q for q in results[0]["queries"].keys()]
     best_q = {
-        q: min(r["queries"].get(q, float("inf")) for r in results)
+        q: min(r["queries"].get(q, float("inf")) for r in all_results)
         for q in qnames
     }
-    best_round = min(results, key=lambda r: r["value"])
+    best_round = min(all_results, key=lambda r: sum(
+        r["queries"].get(q, 0.0) for q in maint_keys) or r["value"])
     out = {
         "metric": "sum of per-query minima across fresh-JVM rounds "
                   "(headline queries + maintenance suite)",
@@ -296,7 +346,8 @@ def orchestrate(rounds: int) -> None:
         "queries": {q: round(v, 3) for q, v in best_q.items()},
         "sf": results[0]["sf"],
         "cpus": results[0]["cpus"],
-        "rounds": len(results),
+        "rounds": n_main,
+        "maint_extra_rounds": len(extra_results),
         "round_totals": [r["value"] for r in results],
         "maintenance": best_round.get("maintenance", {}),
     }

@@ -41,6 +41,14 @@ from medalforge_lakehouse_data_spark.functions.zorder import (
 
 DEFAULT_TARGET_BYTES = 128 * 1024 * 1024
 
+# Full-mode cluster jobs persist their range boundaries in table
+# properties so layout-preserving MERGE can skip its per-merge keys-only
+# percentile job (round-3 VERDICT #1a). Capped: a 100 TB table at 128 MB
+# targets has ~800k boundaries — too big for properties, and at that
+# scale the percentile pass is amortized over a proportionally huge
+# merge anyway.
+MAX_RECORDED_BOUNDARIES = 4096
+
 
 def column_bounds(table: Table, columns: Sequence[str], snapshot_id: int | None = None):
     """Global (min, max) per column from manifest stats — metadata only."""
@@ -89,6 +97,36 @@ def with_curve_key(
 ) -> DataFrame:
     udf = curve_key_udf(columns, bounds, curve)
     return df.withColumn(out_col, udf(*[F.col(c) for c in columns]))
+
+
+def recorded_layout(props: dict, columns: Sequence[str], curve: str):
+    """Load the boundary set a full-mode cluster job recorded, if it
+    matches this (curve, columns) layout. Returns (bounds, boundaries,
+    rows_at_record) or None. ``bounds`` are the normalization min/max
+    IN FORCE when the boundaries were computed — a consumer must key
+    rows with THESE bounds, not fresh ones, or the keys and boundaries
+    disagree."""
+    import json as _json
+
+    raw = props.get("cluster.boundaries")
+    raw_bounds = props.get("cluster.bounds")
+    if not raw or not raw_bounds:
+        return None
+    if props.get("cluster.curve", "zorder") != curve:
+        return None
+    rec_cols = [c.strip() for c in props.get("cluster.columns", "").split(",")
+                if c.strip()]
+    if rec_cols != list(columns):
+        return None
+    try:
+        bounds = {c: tuple(v) for c, v in _json.loads(raw_bounds).items()}
+        bnds = [int(x) for x in raw.split(",") if x]
+        rows = int(props.get("cluster.boundaries-rows", "0"))
+    except (ValueError, AttributeError):
+        return None
+    if any(c not in bounds for c in columns):
+        return None
+    return bounds, bnds, rows
 
 
 def curve_boundaries(
@@ -356,6 +394,26 @@ def cluster_rewrite(
             if attempt == 4 or snapshot_id is not None:
                 raise
             continue  # re-read with the new deletes applied; orphans → GC
+    # Persist the boundary set (full-table layouts only): merges then
+    # re-key on the recorded boundaries instead of paying a keys-only
+    # percentile job per merge. Incremental runs cover only NEW files,
+    # whose boundaries do not describe the table — never record those.
+    if (len(files) == len(all_files)
+            and len(bnds) <= MAX_RECORDED_BOUNDARIES):
+        import json as _json
+
+        try:
+            bounds_json = _json.dumps(
+                {c: [bounds[c][0], bounds[c][1]] for c in columns})
+        except TypeError:
+            bounds_json = None  # non-JSON bound type (e.g. date) — skip
+        if bounds_json is not None:
+            table.set_properties({
+                "cluster.bounds": bounds_json,
+                "cluster.boundaries": ",".join(str(b) for b in bnds),
+                "cluster.boundaries-rows": str(
+                    snap.summary.get("total_rows", sum(e.rows for e in added))),
+            })
     dt = time.monotonic() - t0
     return {
         "job_id": job_id,

@@ -383,22 +383,68 @@ def _write_and_commit(table, spark, result, affected, prune_metrics, src_count,
               if snap else (0, 0))
     avg_row_bytes = (tb / tr) if tr else 0
     est_result_bytes = bytes_affected + int(src_count * avg_row_bytes)
+    served_bnds = None
     if cl_cols and all(c in cols for c in cl_cols) and est_result_bytes >= rekey_min:
         from medalforge_lakehouse_data_spark.maintenance.clustering import (
             column_bounds,
+            recorded_layout,
             with_curve_key,
         )
 
-        bounds = column_bounds(table, cl_cols)
-        if all(bounds[c][0] is not None for c in cl_cols):
+        # Serve the range boundaries a full-mode cluster job recorded in
+        # table properties instead of running a keys-only percentile job
+        # per merge (round-3 VERDICT #1a) — valid only while the rows
+        # being re-keyed normalize IDENTICALLY to how the boundaries were
+        # computed, and the recorded equal-frequency split still
+        # describes the table:
+        #   1. current table bounds ⊆ recorded bounds (metadata-only),
+        #   2. source bounds ⊆ recorded bounds (one agg on the cached
+        #      source — far cheaper than the keys-only scan it replaces),
+        #   3. table rows < 2x rows at record time (growth staleness).
+        # Any miss falls back to the fresh percentile pass.
+        cur_bounds = column_bounds(table, cl_cols)
+        rec = recorded_layout(props, cl_cols, curve)
+        if rec is not None:
+            rec_bounds, rec_bnds, rec_rows = rec
+
+            # Containment with 1%-of-span tolerance: values marginally
+            # outside the recorded bounds clamp at the curve edge (a
+            # no-op for pruning quality at that magnitude — e.g. a lossy
+            # transcode shifts phash stats by ~2^21 on a 2^63 span).
+            # GROSS overshoot would pile rows into the edge partition,
+            # so that still falls back to a fresh percentile pass.
+            def _within(lo, hi, c):
+                rlo, rhi = rec_bounds[c]
+                try:
+                    tol = 0.01 * (float(rhi) - float(rlo))
+                except (TypeError, ValueError):
+                    return False
+                return (lo is not None and float(lo) >= float(rlo) - tol
+                        and float(hi) <= float(rhi) + tol)
+
+            ok = (rec_rows > 0 and tr <= 2 * rec_rows and all(
+                _within(cur_bounds[c][0], cur_bounds[c][1], c)
+                for c in cl_cols))
+            if ok and source is not None and all(c in source.columns for c in cl_cols):
+                sb = source.agg(
+                    *[F.min(c).alias(f"mn_{c}") for c in cl_cols],
+                    *[F.max(c).alias(f"mx_{c}") for c in cl_cols],
+                ).collect()[0]
+                ok = all(
+                    sb[f"mn_{c}"] is None
+                    or _within(sb[f"mn_{c}"], sb[f"mx_{c}"], c)
+                    for c in cl_cols)
+            if ok:
+                bounds, served_bnds = rec_bounds, rec_bnds
+        if bounds is None and all(cur_bounds[c][0] is not None for c in cl_cols):
+            bounds = cur_bounds
+        if bounds is not None:
             result = with_curve_key(result, cl_cols, bounds, curve)
             # tie-break spreads a hot curve key across files (skew split)
             result = result.withColumn("_mtie", F.xxhash64(*[F.col(k) for k in keys]))
             sort_within = ["_zkey", "_mtie"]
             cluster_tag = {"curve": curve, "columns": cl_cols}
             target_file_bytes = cluster_target
-        else:
-            bounds = None
     rows_per_file = int(props.get("write.target-rows-per-file", 1_000_000))
     n_out = max(
         1,
@@ -406,28 +452,39 @@ def _write_and_commit(table, spark, result, affected, prune_metrics, src_count,
         math.ceil(rows_est / max(1, rows_per_file)),
     )
     if sort_within is not None and bounds is not None:
-        # Range boundaries from a keys-only pass over the AFFECTED files
-        # (cluster columns pruned at the scan; the join result is NOT
-        # re-executed) + one-pass range write — repartitionByRange's
-        # sampler would run the whole merge join a second time, the main
-        # real cost behind the round-2 maint_merge regression (5.4×).
         from medalforge_lakehouse_data_spark.maintenance.clustering import (
             curve_boundaries,
             with_curve_key,
             write_range_partitioned,
         )
 
-        keys_only = None
-        if affected:
-            keys_only = table.read_entries(spark, affected).select(*cl_cols)
-        if source is not None and all(c in source.columns for c in cl_cols):
-            # insert-heavy merges: the (cached) source contributes most of
-            # the result rows — include its keys or the quantiles skew
-            src_keys = source.select(*cl_cols)
-            keys_only = src_keys if keys_only is None else keys_only.unionByName(src_keys)
-        bnds = (curve_boundaries(with_curve_key(keys_only, cl_cols, bounds, curve),
-                                 n_out)
-                if keys_only is not None else [])
+        if served_bnds is not None:
+            # Recorded layout path: the cluster job's boundaries ARE the
+            # table's file-range layout — rewriting affected files on
+            # them preserves alignment exactly, with zero extra jobs.
+            # Ranges outside the merge's key span come out empty (no
+            # file written). n_out follows the boundary count.
+            bnds = served_bnds
+            n_out = len(bnds) + 1
+        else:
+            # Fallback: range boundaries from a keys-only pass over the
+            # AFFECTED files (cluster columns pruned at the scan; the
+            # join result is NOT re-executed) + one-pass range write —
+            # repartitionByRange's sampler would run the whole merge
+            # join a second time, the main real cost behind the round-2
+            # maint_merge regression (5.4×).
+            keys_only = None
+            if affected:
+                keys_only = table.read_entries(spark, affected).select(*cl_cols)
+            if source is not None and all(c in source.columns for c in cl_cols):
+                # insert-heavy merges: the (cached) source contributes most
+                # of the result rows — include its keys or the quantiles skew
+                src_keys = source.select(*cl_cols)
+                keys_only = (src_keys if keys_only is None
+                             else keys_only.unionByName(src_keys))
+            bnds = (curve_boundaries(
+                        with_curve_key(keys_only, cl_cols, bounds, curve), n_out)
+                    if keys_only is not None else [])
         added = write_range_partitioned(
             table, spark, result, n_out, bnds, sort_within
         )
@@ -459,5 +516,8 @@ def _write_and_commit(table, spark, result, affected, prune_metrics, src_count,
         "affected_files": len(affected),
         "files_total": prune_metrics["files_total"],
         "added_files": len(added),
+        "rekey_boundaries": ("recorded" if served_bnds is not None
+                             else "computed" if sort_within is not None
+                             else None),
         "seconds": time.monotonic() - t0,
     }

@@ -201,3 +201,87 @@ def test_ivf_staleness_retrains_when_corpus_doubles(spark, emb_table, monkeypatc
     assert out.get("ivf_retrained"), "stale IVF index not retrained"
     (_, _, trained1), = ann.list_ivf_indexes(t)
     assert trained1 >= 3 * trained0 - 3
+
+
+# ------------------------- 4. merge serves recorded cluster boundaries
+
+
+def _images_table(spark, tmp_path, rows=1000):
+    from medalforge_lakehouse_data_spark.testing.datagen import (
+        IMAGES_SCHEMA,
+        images_df,
+    )
+
+    t = Table.create(str(tmp_path / "imgs"), IMAGES_SCHEMA,
+                     properties={"merge.cluster-rekey-min-bytes": "1"})
+    t.append(spark, images_df(spark, rows, seed=3), target_file_count=8)
+    clustering.cluster_rewrite(
+        t, spark, columns=("phash", "w", "h"), target_file_bytes=64 * 1024)
+    return t
+
+
+def test_merge_uses_recorded_cluster_boundaries(spark, tmp_path, monkeypatch):
+    """After a full cluster job, a layout-preserving merge must re-key on
+    the boundaries recorded in cluster.* properties — zero extra Spark
+    jobs — and still preserve tags + pruning + correctness."""
+    from pyspark.sql import functions as F
+
+    from medalforge_lakehouse_data_spark.testing.datagen import images_df
+
+    t = _images_table(spark, tmp_path)
+    props = t.metadata().properties
+    assert props.get("cluster.boundaries"), "cluster job recorded no boundaries"
+    assert props.get("cluster.bounds") and props.get("cluster.boundaries-rows")
+
+    # the percentile fallback must NOT run
+    def boom(*a, **kw):
+        raise AssertionError("keys-only percentile pass ran despite recorded boundaries")
+
+    monkeypatch.setattr(clustering, "curve_boundaries", boom)
+    upd = images_df(spark, 200, seed=3).withColumn(
+        "caption", F.concat(F.lit("v2 "), F.col("caption")))
+    m = merge_into(t, upd, ["image_id"], spark)
+    assert m["rekey_boundaries"] == "recorded", m
+    entries = t.files()
+    assert all(e.cluster for e in entries), "merge output lost the cluster tag"
+    mx: dict = {}
+    t.scan(spark, filters=[("phash", "between", (-(2**62), 0))],
+           metrics_out=mx).count()
+    assert mx["files_kept"] < mx["files_total"], "pruning decayed after merge"
+    out = t.scan(spark)
+    assert out.count() == 1000
+    assert out.filter(F.col("caption").startswith("v2 ")).count() == 200
+
+
+def test_merge_falls_back_when_source_exceeds_recorded_bounds(
+        spark, tmp_path):
+    """A source carrying cluster-column values outside the recorded
+    normalization bounds would clamp at the curve edge — the merge must
+    fall back to the fresh percentile pass instead."""
+    from pyspark.sql import functions as F
+
+    from medalforge_lakehouse_data_spark.testing.datagen import images_df
+
+    t = _images_table(spark, tmp_path)
+    upd = images_df(spark, 200, seed=3).withColumn(
+        "w", F.lit(10_000_000))  # far beyond any recorded w bound
+    m = merge_into(t, upd, ["image_id"], spark)
+    assert m["rekey_boundaries"] == "computed", m
+    assert t.scan(spark).filter(F.col("w") == 10_000_000).count() == 200
+
+
+def test_merge_falls_back_when_recorded_layout_stale(spark, tmp_path):
+    """Once the table grows past 2x the rows at record time, the
+    equal-frequency split no longer describes it — fall back."""
+    from pyspark.sql import functions as F
+
+    from medalforge_lakehouse_data_spark.testing.datagen import images_df
+
+    t = _images_table(spark, tmp_path)
+    # triple the table without re-clustering
+    t.append(spark, images_df(spark, 2000, seed=5, id_offset=100_000))
+    upd = images_df(spark, 200, seed=3).withColumn(
+        "caption", F.concat(F.lit("v2 "), F.col("caption")))
+    m = merge_into(t, upd, ["image_id"], spark)
+    assert m["rekey_boundaries"] == "computed", m
+    assert t.scan(spark).count() == 3000
