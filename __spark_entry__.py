@@ -426,7 +426,7 @@ def q_merge_mor_delete(spark, sf):
     return _merge_fixture(spark, sf, "delete", None, strategy="merge-on-read")
 
 
-def q_merge_conditional(spark, sf):
+def q_merge_conditional(spark, sf, strategy="copy-on-write"):
     """Conditional MERGE: WHEN MATCHED AND s.o_custkey % 2 = 0 THEN
     UPDATE SET price = s.price (column-subset update); WHEN NOT MATCHED
     THEN INSERT. Oracle mirrors it with a LEFT JOIN + CASE."""
@@ -447,10 +447,18 @@ def q_merge_conditional(spark, sf):
         t.append(spark, target_df, target_file_count=8, sort_within=["o_orderkey"])
         merge_into(t, source_df, ["o_orderkey"], spark,
                    matched_condition="s.o_custkey % 2 = 0",
-                   update_columns=["price"])
+                   update_columns=["price"], strategy=strategy)
         out = t.scan(spark).select("o_orderkey", "o_custkey", _dbl("price", 2))
         out = spark.createDataFrame(out.collect(), out.schema)
     return out
+
+
+def q_merge_mor_conditional(spark, sf):
+    """Same conditional/subset MERGE executed merge-on-read: equality
+    deletes of the FIRED keys + patched row versions, zero rewritten
+    files (round-3 VERDICT missing #2). Must produce the SAME row set —
+    the oracle SQL is shared verbatim with merge_conditional."""
+    return q_merge_conditional(spark, sf, strategy="merge-on-read")
 
 
 # ---------------------------------------------------------------------------
@@ -706,6 +714,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "merge_conditional": q_merge_conditional,
         "merge_mor_upsert": q_merge_mor_upsert,
         "merge_mor_delete": q_merge_mor_delete,
+        "merge_mor_conditional": q_merge_mor_conditional,
         "docs_token_stats": q_docs_token_stats,
         "docs_lang_id": q_docs_lang_id,
         "docs_exact_dedup": q_docs_exact_dedup,
@@ -1103,4 +1112,5 @@ def oracle_sql() -> dict[str, str]:
     # identical oracles make the driver check that equivalence directly
     out["merge_mor_upsert"] = out["merge_upsert"]
     out["merge_mor_delete"] = out["merge_delete"]
+    out["merge_mor_conditional"] = out["merge_conditional"]
     return out
