@@ -80,6 +80,8 @@ _SAFE_WIDENINGS = {("integer", "long"), ("float", "double")}
 # Iceberg-style hash bucketing so point-lookup/merge keys stay prunable
 # even when the table is clustered on different columns
 _BUCKET_RE = __import__("re").compile(r"^bucket\(\s*([A-Za-z_]\w*)\s*,\s*(\d+)\s*\)$")
+_DAYS_RE = __import__("re").compile(r"^days?\(\s*([A-Za-z_]\w*)\s*\)$")
+_TRUNC_RE = __import__("re").compile(r"^truncate\(\s*([A-Za-z_]\w*)\s*,\s*(\d+)\s*\)$")
 
 
 def _validate_partition_spec(schema: StructType, partition_spec: list[str]) -> None:
@@ -96,33 +98,65 @@ def _validate_partition_spec(schema: StructType, partition_spec: list[str]) -> N
         if schema[src].dataType.typeName() in ("array", "map", "struct", "binary"):
             # reference: data_contract_manager.py:148-163 — no complex partitions
             raise ValueError(f"partition column {src!r} may not be a complex/binary type")
+        tn = schema[src].dataType.typeName()
+        if transform == "days" and tn not in ("date", "timestamp", "timestamp_ntz"):
+            raise ValueError(f"days() needs a date/timestamp column, got {tn} {src!r}")
+        if transform == "truncate" and tn not in (
+                "string", "integer", "long", "short", "byte"):
+            raise ValueError(f"truncate() needs a string/integral column, got {tn} {src!r}")
 
 
 def parse_partition_field(entry: str) -> tuple[str, str, str, int | None]:
-    """Spec entry → (field_name, source_col, transform, n_buckets).
+    """Spec entry → (field_name, source_col, transform, param).
     Identity fields keep their column name; bucket fields are named
-    '<col>_bucket_<n>' and hold pmod(xxhash64(col), n). The modulus is
-    PART OF THE FIELD NAME on purpose: after update_partition_spec
-    re-buckets a column (bucket(k,8) → bucket(k,16)), old files' mod-8
-    values must never be point-compared against a mod-16 bucket filter —
-    distinct names make the filter miss the old field and pruning fall
-    back to column stats (conservative, correct)."""
-    m = _BUCKET_RE.match(entry.strip())
+    '<col>_bucket_<n>' and hold pmod(xxhash64(col), n); days fields are
+    '<col>_day' (days since epoch, Iceberg's days transform); truncate
+    fields are '<col>_trunc_<w>' (floor-to-width for numerics, prefix
+    for strings). Transform parameters are PART OF THE FIELD NAME on
+    purpose: after update_partition_spec re-parameterizes a column
+    (bucket(k,8) → bucket(k,16), truncate(v,10) → truncate(v,100)), old
+    files' values must never be point-compared against the new field's
+    filters — distinct names make the filter miss the old field and
+    pruning fall back to column stats (conservative, correct)."""
+    entry = entry.strip()
+    m = _BUCKET_RE.match(entry)
     if m:
         col, n = m.group(1), int(m.group(2))
         if n < 1:
             raise ValueError(f"bucket count must be >= 1: {entry!r}")
         return f"{col}_bucket_{n}", col, "bucket", n
+    m = _DAYS_RE.match(entry)
+    if m:
+        col = m.group(1)
+        return f"{col}_day", col, "days", None
+    m = _TRUNC_RE.match(entry)
+    if m:
+        col, w = m.group(1), int(m.group(2))
+        if w < 1:
+            raise ValueError(f"truncate width must be >= 1: {entry!r}")
+        return f"{col}_trunc_{w}", col, "truncate", w
     return entry, entry, "identity", None
 
 
-def partition_field_expr(entry: str):
-    """(field_name, Column expr) for a partition-spec entry. The bucket
-    expression is the SINGLE definition shared by the write path and the
-    merge planner — they must agree bit-for-bit."""
+def partition_field_expr(entry: str, schema: StructType | None = None):
+    """(field_name, Column expr) for a partition-spec entry. Each
+    transform expression is the SINGLE definition shared by the write
+    path and the planners — they must agree bit-for-bit. ``schema``
+    disambiguates string vs numeric truncate."""
     name, col, transform, n = parse_partition_field(entry)
     if transform == "bucket":
         return name, F.pmod(F.xxhash64(F.col(col)), F.lit(n)).cast("int")
+    if transform == "days":
+        return name, F.datediff(
+            F.col(col).cast("date"), F.lit("1970-01-01").cast("date")
+        ).cast("int")
+    if transform == "truncate":
+        if schema is not None and col in schema.fieldNames() \
+                and schema[col].dataType.typeName() == "string":
+            return name, F.substring(F.col(col), 1, n)
+        # floor semantics for negatives (Iceberg): v - ((v % W + W) % W)
+        # — F.pmod is already the non-negative modulus
+        return name, (F.col(col) - F.pmod(F.col(col), F.lit(n))).cast("long")
     return name, F.col(col)
 
 
@@ -405,7 +439,10 @@ class Table:
                 fname, src, transform, n = parse_partition_field(p)
                 if src != old:
                     return p
-                return new if transform == "identity" else f"bucket({new}, {n})"
+                return {"identity": new,
+                        "bucket": f"bucket({new}, {n})",
+                        "days": f"days({new})",
+                        "truncate": f"truncate({new}, {n})"}[transform]
 
             meta.partition_spec = [fix_spec(p) for p in meta.partition_spec]
             return [
@@ -569,7 +606,7 @@ class Table:
         spec = meta.partition_spec
         schema = meta.schema
         staging = os.path.join(self.root, "_staging", uuid.uuid4().hex)
-        pfields = [partition_field_expr(p) for p in spec]
+        pfields = [partition_field_expr(p, schema) for p in spec]
         pnames = [name for name, _ in pfields]
         writer_df = df
         for name, expr in pfields:
@@ -610,9 +647,16 @@ class Table:
         field_types = {}
         for p in spec:
             fname, src_col, transform, _n = parse_partition_field(p)
-            field_types[fname] = (
-                IntegerType() if transform == "bucket" else schema[src_col].dataType
-            )
+            if transform in ("bucket", "days"):
+                field_types[fname] = IntegerType()
+            elif transform == "truncate":
+                field_types[fname] = (
+                    schema[src_col].dataType
+                    if schema[src_col].dataType.typeName() == "string"
+                    else LongType()
+                )
+            else:
+                field_types[fname] = schema[src_col].dataType
         rels: list[str] = []
         partitions: dict[str, dict[str, Any]] = {}
         for dirpath, _dirs, fnames in os.walk(staging):
@@ -857,6 +901,12 @@ class Table:
         )
         spec = set(meta.partition_spec)
         flts = filters or []
+        # filters on the SOURCE column of a monotonic partition transform
+        # (days/truncate) also prune at the partition tier: map the
+        # filter values through the transform driver-side. Derived
+        # filters stay local to planning — scan()'s residual filter
+        # re-applies only the caller's predicates row-level.
+        flts = flts + _derive_partition_filters(meta.partition_spec, flts)
         kept: list[DataFile] = []
         files_total = bytes_total = rows_total = opened = 0
         deletes: list[DataFile] = []
@@ -1076,6 +1126,89 @@ class Table:
             e.content = "deletes"
             e.delete_keys = list(key_cols)
         return entries
+
+
+def _days_value(v) -> int | None:
+    """Driver-side replica of the days() transform for filter values."""
+    import datetime
+
+    if isinstance(v, datetime.datetime):
+        v = v.date()
+    if isinstance(v, datetime.date):
+        return (v - datetime.date(1970, 1, 1)).days
+    if isinstance(v, str):
+        try:
+            return (datetime.date.fromisoformat(v[:10])
+                    - datetime.date(1970, 1, 1)).days
+        except ValueError:
+            return None
+    return None
+
+
+def _derive_partition_filters(partition_spec: list[str],
+                              filters: list[Filter]) -> list[Filter]:
+    """Map filters on a transform's SOURCE column into partition space.
+
+    days/truncate are monotonic non-decreasing, so range predicates
+    survive with relaxed edges (col < v ⟹ t(col) <= t(v)). days gets
+    ±1 day slack to stay conservative under any session-timezone skew
+    between Spark's datediff and the driver-side date math; truncate is
+    exact integer/prefix arithmetic on both sides. Old files written
+    before a spec evolution simply lack the field and are kept."""
+    out: list[Filter] = []
+    if not filters:
+        return out
+    for p in partition_spec:
+        fname, src, transform, n = parse_partition_field(p)
+        if transform == "days":
+            def t(v):
+                return _days_value(v)
+            slack = 1
+        elif transform == "truncate":
+            def t(v, _w=n):
+                if isinstance(v, str):
+                    return v[:_w]
+                if isinstance(v, int) and not isinstance(v, bool):
+                    return v - (v % _w)
+                return None
+            slack = 0
+        else:
+            continue
+        for col, op, val in filters:
+            if col != src:
+                continue
+            if op in ("=", "<", "<="):
+                tv = t(val)
+                if tv is None:
+                    continue
+                if op == "=" and slack == 0:
+                    out.append((fname, "=", tv))
+                elif op == "=":
+                    out.append((fname, "between", (tv - slack, tv + slack)))
+                else:
+                    out.append((fname, "<=",
+                                tv + slack if slack else tv))
+            elif op in (">", ">="):
+                tv = t(val)
+                if tv is None:
+                    continue
+                out.append((fname, ">=", tv - slack if slack else tv))
+            elif op == "between":
+                lo, hi = t(val[0]), t(val[1])
+                if lo is None or hi is None:
+                    continue
+                out.append((fname, "between", (lo - slack, hi + slack)
+                            if slack else (lo, hi)))
+            elif op == "in":
+                tvs = [t(v) for v in val]
+                if any(v is None for v in tvs) or not tvs:
+                    continue
+                if slack:
+                    out.append((fname, "between",
+                                (min(tvs) - slack, max(tvs) + slack)))
+                else:
+                    out.append((fname, "in", tuple(tvs)))
+    return out
 
 
 def _bounds_survive(bounds: dict, filters: list[Filter]) -> bool:

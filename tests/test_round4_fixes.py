@@ -285,3 +285,137 @@ def test_merge_falls_back_when_recorded_layout_stale(spark, tmp_path):
     m = merge_into(t, upd, ["image_id"], spark)
     assert m["rekey_boundaries"] == "computed", m
     assert t.scan(spark).count() == 3000
+
+
+# --------------------------- 5. time-based partition transforms
+
+
+def test_days_partition_transform_prunes(spark, tmp_path):
+    """days(ts) partition: a ts range filter prunes whole day partitions
+    at the PARTITION tier (ts excluded from stats so only partition
+    values can prune), mirroring the reference's forced ingestion_date
+    partition (data_contract_manager.py:165-174)."""
+    import datetime
+
+    from pyspark.sql.types import TimestampType
+
+    schema = StructType([
+        StructField("event_id", LongType()),
+        StructField("ts", TimestampType()),
+        StructField("v", StringType()),
+    ])
+    rows = [(d * 100 + i,
+             datetime.datetime(2024, 1, 1 + d, 6 + (i % 12)),
+             f"v{d}_{i}")
+            for d in range(6) for i in range(20)]
+    t = Table.create(str(tmp_path / "t"), schema,
+                     partition_spec=["days(ts)"],
+                     properties={"stats.columns": "event_id"})
+    t.append(spark, spark.createDataFrame(rows, schema))
+    entries = t.files(content="data")
+    days = {e.partition.get("ts_day") for e in entries}
+    assert len(days) == 6 and all(d is not None for d in days)
+
+    m: dict = {}
+    out = t.scan(spark, filters=[
+        ("ts", ">=", datetime.datetime(2024, 1, 5, 0, 0))], metrics_out=m)
+    assert out.count() == 40  # days 5 and 6
+    # ±1 day slack keeps day 4 too; days 1-3 must be pruned
+    assert m["files_kept"] < m["files_total"], m
+    # point filter
+    m2: dict = {}
+    got = t.scan(spark, filters=[
+        ("ts", "between", (datetime.datetime(2024, 1, 2, 0, 0),
+                           datetime.datetime(2024, 1, 2, 23, 59)))],
+        metrics_out=m2).count()
+    assert got == 20 and m2["files_kept"] < m2["files_total"]
+
+
+def test_truncate_partition_transform_prunes(spark, tmp_path):
+    schema = StructType([
+        StructField("k", LongType()),
+        StructField("v", StringType()),
+    ])
+    t = Table.create(str(tmp_path / "t"), schema,
+                     partition_spec=["truncate(k, 100)"],
+                     properties={"stats.columns": "v"})
+    t.append(spark, spark.createDataFrame(
+        [(i, f"v{i}") for i in range(-150, 450)], schema))
+    entries = t.files(content="data")
+    tvals = {e.partition.get("k_trunc_100") for e in entries}
+    assert tvals == {-200, -100, 0, 100, 200, 300, 400}
+    m: dict = {}
+    got = t.scan(spark, filters=[("k", "between", (120, 180))],
+                 metrics_out=m).count()
+    assert got == 61
+    assert m["files_kept"] < m["files_total"], m
+    m3: dict = {}
+    assert t.scan(spark, filters=[("k", "=", -120)], metrics_out=m3).count() == 1
+    assert m3["files_kept"] < m3["files_total"], "negative-key truncate mis-binned"
+
+
+def test_truncate_string_partition(spark, tmp_path):
+    schema = StructType([
+        StructField("lang", StringType()),
+        StructField("n", LongType()),
+    ])
+    t = Table.create(str(tmp_path / "t"), schema,
+                     partition_spec=["truncate(lang, 2)"],
+                     properties={"stats.columns": "n"})
+    t.append(spark, spark.createDataFrame(
+        [("en-US", 1), ("en-GB", 2), ("fr-FR", 3), ("de-DE", 4)], schema))
+    m: dict = {}
+    got = t.scan(spark, filters=[("lang", "=", "fr-FR")], metrics_out=m)
+    assert got.count() == 1
+    assert m["files_kept"] < m["files_total"], m
+
+
+def test_days_spec_evolution_no_misprune(spark, tmp_path):
+    """Evolve an unpartitioned table to days(ts): old files lack the
+    field (kept conservatively), new files prune; rows never lost."""
+    import datetime
+
+    from pyspark.sql.types import TimestampType
+
+    schema = StructType([
+        StructField("event_id", LongType()),
+        StructField("ts", TimestampType()),
+    ])
+    old = [(i, datetime.datetime(2024, 3, 1 + (i % 4))) for i in range(40)]
+    new = [(100 + i, datetime.datetime(2024, 3, 10 + (i % 4))) for i in range(40)]
+    t = Table.create(str(tmp_path / "t"), schema,
+                     properties={"stats.columns": "event_id"})
+    t.append(spark, spark.createDataFrame(old, schema))
+    t.update_partition_spec(["days(ts)"])
+    t.append(spark, spark.createDataFrame(new, schema))
+    # full scan sees everything
+    assert t.scan(spark).count() == 80
+    m: dict = {}
+    got = t.scan(spark, filters=[
+        ("ts", ">=", datetime.datetime(2024, 3, 12))], metrics_out=m).count()
+    assert got == 20
+    # old files kept (no partition value), some NEW day files pruned
+    assert m["files_kept"] < m["files_total"], m
+
+
+def test_days_partition_rename_column(spark, tmp_path):
+    import datetime
+
+    from pyspark.sql.types import TimestampType
+
+    schema = StructType([
+        StructField("ts", TimestampType()),
+        StructField("v", LongType()),
+    ])
+    t = Table.create(str(tmp_path / "t"), schema, partition_spec=["days(ts)"])
+    t.append(spark, spark.createDataFrame(
+        [(datetime.datetime(2024, 5, 1), 1)], schema))
+    t.rename_column("ts", "event_ts")
+    assert t.metadata().partition_spec == ["days(event_ts)"]
+    assert t.scan(spark).count() == 1
+
+
+def test_days_transform_rejects_non_temporal(spark, tmp_path):
+    schema = StructType([StructField("k", LongType())])
+    with pytest.raises(ValueError, match="days"):
+        Table.create(str(tmp_path / "t"), schema, partition_spec=["days(k)"])
