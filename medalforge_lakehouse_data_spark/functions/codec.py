@@ -58,16 +58,29 @@ def _quant_table(quality: int) -> np.ndarray:
     return np.clip(q, 1, 255).astype(np.float32)
 
 
-def encode_raw(pixels: np.ndarray) -> bytes:
+# Default zlib level per format. Measured on 64x64x3 images: for the
+# lossy format's quantized DCT coefficients level 6 costs 1770us/image
+# vs 284us at level 1 for only ~3% more bytes — the coefficient entropy
+# is mostly irreducible, so heavy deflate buys nothing. Raw pixels DO
+# deflate well, so raw keeps 6. The level is not in the header
+# (inflate is level-agnostic); override per table with the
+# codec.zlib-level property (maintenance/transcode.py).
+ZLEVEL_RAW = 6
+ZLEVEL_LOSSY = 1
+
+
+def encode_raw(pixels: np.ndarray, zlevel: int = ZLEVEL_RAW) -> bytes:
     """pixels: uint8 array (h, w, c) or (h, w)."""
     if pixels.ndim == 2:
         pixels = pixels[:, :, None]
     h, w, c = pixels.shape
-    payload = zlib.compress(np.ascontiguousarray(pixels, dtype=np.uint8).tobytes(), 6)
+    payload = zlib.compress(
+        np.ascontiguousarray(pixels, dtype=np.uint8).tobytes(), zlevel)
     return MAGIC_RAW + struct.pack("<HHH", h, w, c) + payload
 
 
-def encode_lossy(pixels: np.ndarray, quality: int = 96) -> bytes:
+def encode_lossy(pixels: np.ndarray, quality: int = 96,
+                 zlevel: int = ZLEVEL_LOSSY) -> bytes:
     if pixels.ndim == 2:
         pixels = pixels[:, :, None]
     h, w, c = pixels.shape
@@ -83,7 +96,7 @@ def encode_lossy(pixels: np.ndarray, quality: int = 96) -> bytes:
     blocks = x.reshape(H // 8, 8, W // 8, 8, c).transpose(0, 2, 4, 1, 3)
     coeffs = _D8 @ blocks @ _D8.T
     quant = np.round(coeffs / q).astype(np.int16)
-    payload = zlib.compress(quant.tobytes(), 6)
+    payload = zlib.compress(quant.tobytes(), zlevel)
     return MAGIC_LOSSY + struct.pack("<HHHB", h, w, c, quality) + payload
 
 
@@ -107,11 +120,13 @@ def decode(data: bytes) -> np.ndarray:
     raise ValueError(f"unknown image magic {magic!r}")
 
 
-def encode(pixels: np.ndarray, fmt: str, quality: int = 96) -> bytes:
+def encode(pixels: np.ndarray, fmt: str, quality: int = 96,
+           zlevel: int | None = None) -> bytes:
     if fmt == "raw":
-        return encode_raw(pixels)
+        return encode_raw(pixels, ZLEVEL_RAW if zlevel is None else zlevel)
     if fmt == "lossy":
-        return encode_lossy(pixels, quality)
+        return encode_lossy(pixels, quality,
+                            ZLEVEL_LOSSY if zlevel is None else zlevel)
     raise ValueError(f"unknown format {fmt!r} (expected raw|lossy)")
 
 

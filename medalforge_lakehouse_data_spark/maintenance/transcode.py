@@ -44,6 +44,10 @@ def transcode_rewrite(
         return {"job_id": job_id, "rows": 0, "files_in": 0}
     schema = table.schema
     cols = schema.fieldNames()
+    # per-table deflate level override (codec.zlib-level); None → the
+    # codec's per-format default (raw 6, lossy 1 — see codec.py)
+    zprop = table.metadata().properties.get("codec.zlib-level")
+    zlevel = int(zprop) if zprop is not None else None
 
     def transcode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -51,7 +55,7 @@ def transcode_rewrite(
             for b, fmt, ph in zip(pdf["bytes"], pdf["fmt"], pdf["phash"]):
                 try:
                     px = codec.decode(bytes(b))
-                    enc = codec.encode(px, target_fmt, quality)
+                    enc = codec.encode(px, target_fmt, quality, zlevel)
                     # decode the re-encode ONCE; reused by the PSNR gate
                     # and the pHash recompute (was two decodes per row)
                     dec = codec.decode(enc) if target_fmt == "lossy" else px

@@ -419,3 +419,51 @@ def test_days_transform_rejects_non_temporal(spark, tmp_path):
     schema = StructType([StructField("k", LongType())])
     with pytest.raises(ValueError, match="days"):
         Table.create(str(tmp_path / "t"), schema, partition_spec=["days(k)"])
+
+
+# ------------------------------ 6. codec zlib level (transcode speed)
+
+
+def test_codec_zlevel_roundtrip_and_psnr():
+    """Any zlib level decodes identically (level is not in the header);
+    lossy at the fast default still clears the PSNR>=40 gate."""
+    import numpy as np
+
+    from medalforge_lakehouse_data_spark.functions import codec
+
+    rng = np.random.default_rng(7)
+    px = (rng.integers(0, 256, (48, 40, 3)).astype(np.float32) * 0.3
+          + 100).astype(np.uint8)
+    for z in (1, 6, 9):
+        assert np.array_equal(codec.decode(codec.encode_raw(px, z)), px)
+    d1 = codec.decode(codec.encode_lossy(px, 96, zlevel=1))
+    d6 = codec.decode(codec.encode_lossy(px, 96, zlevel=6))
+    assert np.array_equal(d1, d6), "zlib level changed decoded pixels"
+    assert codec.psnr(px, d1) >= 40.0
+
+
+def test_transcode_honors_zlib_level_property(spark, tmp_path):
+    from medalforge_lakehouse_data_spark.maintenance.transcode import (
+        transcode_rewrite,
+    )
+    from medalforge_lakehouse_data_spark.testing.datagen import (
+        IMAGES_SCHEMA,
+        images_df,
+    )
+
+    t9 = Table.create(str(tmp_path / "t9"), IMAGES_SCHEMA,
+                      properties={"codec.zlib-level": "9"})
+    t1 = Table.create(str(tmp_path / "t1"), IMAGES_SCHEMA,
+                      properties={"codec.zlib-level": "1"})
+    df = images_df(spark, 60, seed=21)
+    t9.append(spark, df)
+    t1.append(spark, df)
+    m9 = transcode_rewrite(t9, spark, target_fmt="lossy", quality=96)
+    m1 = transcode_rewrite(t1, spark, target_fmt="lossy", quality=96)
+    assert m9["rows"] == m1["rows"] == 60
+    # level 9 must compress at least as small as level 1
+    assert m9["bytes_out"] <= m1["bytes_out"]
+    # both decode to identical pixel content ⇒ identical phash sets
+    p9 = {r.phash for r in t9.scan(spark).select("phash").collect()}
+    p1 = {r.phash for r in t1.scan(spark).select("phash").collect()}
+    assert p9 == p1
