@@ -206,6 +206,36 @@ def bench_maintenance(spark, timings: dict, extra: dict) -> None:
         timings["scan_post_delete_compact"] = round(time.monotonic() - t0, 3)
         assert n_folded == n_after, (n_folded, n_after)
 
+        # SPEC EVOLUTION + BUCKET-TIER TRICKLE MERGE (round-3 VERDICT #8):
+        # evolve the live table to bucket(image_id, 8), rewrite files
+        # under the new spec (full cluster pass — Iceberg-style spec
+        # migration), then run the same 12-key trickle merge. The bucket
+        # partition tier must cut the candidate set to at most the
+        # buckets the source keys hash into BEFORE range/bloom tiers
+        # apply — compare merge_trickle_affected_files (bloom-only,
+        # above) with merge_trickle_bucketed_affected_files.
+        t.update_partition_spec(["fmt", "bucket(image_id, 8)"])
+        post_fold_bytes = sum(e.bytes for e in t.files())
+        t0 = time.monotonic()
+        rb = clustering.cluster_rewrite(
+            t, spark, columns=("phash", "w", "h"), curve="zorder",
+            target_file_bytes=max(1, post_fold_bytes // 4), mode="full",
+        )
+        timings["maint_rebucket"] = round(time.monotonic() - t0, 3)
+        extra["rebucket_files_out"] = rb["files_out"]
+        trickle2 = images_df(spark, 12, seed=99).withColumn(
+            "caption", F.concat(F.lit("v5 "), F.col("caption"))
+        )
+        t0 = time.monotonic()
+        tb = merge_into(t, trickle2, ["image_id"], spark,
+                        commit_key="bench-merge-trickle-bucketed")
+        timings["maint_merge_trickle_bucketed"] = round(time.monotonic() - t0, 3)
+        extra["merge_trickle_bucketed_affected_files"] = (
+            f"{tb['affected_files']}/{tb['files_total']}"
+        )
+        n_final = t.scan(spark).count()
+        assert n_final == n_after, (n_final, n_after)
+
 
 def main():
     from medalforge_lakehouse_data_spark.session import get_spark
