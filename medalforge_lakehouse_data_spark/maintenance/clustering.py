@@ -280,6 +280,7 @@ def cluster_rewrite(
     job_id: str | None = None,
     mode: str = "full",
     min_input_files: int = 2,
+    migrate_spec: bool = False,
 ) -> dict:
     """Rewrite table files clustered along the curve. Returns metrics.
 
@@ -291,6 +292,15 @@ def cluster_rewrite(
     100 TB). Already-clustered files stay as a separate sorted run;
     a range query then touches ≤1 file per run instead of 1 overall —
     the standard LSM-style tradeoff, recovered by a periodic full pass.
+
+    migrate_spec=True (incremental mode): ALSO select files whose
+    recorded partition values do not match the CURRENT partition spec's
+    field set — i.e. files written before an update_partition_spec.
+    They are rewritten under the new spec (Iceberg's
+    rewrite-with-spec-migration), so partition-tier pruning becomes
+    effective on the whole table without a full rewrite in one job.
+    Off by default: right after a spec evolution this selects every
+    old-spec file, which a caller should opt into knowingly.
 
     Output files are tagged (DataFile.cluster) and the clustering spec
     is recorded in table properties so MERGE can preserve the layout."""
@@ -323,10 +333,19 @@ def cluster_rewrite(
     # table.scan() here would fold a concurrently appended file's rows
     # into the rewrite while removed_paths — captured at listing time —
     # left that file referenced, duplicating its rows (round-3 ADVICE #2).
+    from medalforge_lakehouse_data_spark.format.table import parse_partition_field
+
     for attempt in range(5):
         all_files = table.files(snapshot_id, content="data")
         if mode == "incremental":
             files = [e for e in all_files if e.cluster != tag]
+            if migrate_spec:
+                cur_fields = {parse_partition_field(p)[0]
+                              for p in table.metadata().partition_spec}
+                stale = [e for e in all_files
+                         if e.cluster == tag
+                         and set(e.partition or {}) != cur_fields]
+                files += stale
             if len(files) < min_input_files:
                 return {"job_id": job_id, "files_in": 0, "files_out": 0,
                         "skipped": len(files), "seconds": 0.0}

@@ -467,3 +467,127 @@ def test_transcode_honors_zlib_level_property(spark, tmp_path):
     p9 = {r.phash for r in t9.scan(spark).select("phash").collect()}
     p1 = {r.phash for r in t1.scan(spark).select("phash").collect()}
     assert p9 == p1
+
+
+# ------------------- 7. incremental spec-migration clustering
+
+
+def test_incremental_cluster_migrates_old_spec_files(spark, tmp_path):
+    """After update_partition_spec, migrate_spec=True selects the
+    old-spec files (already cluster-tagged or not) and rewrites them
+    under the NEW spec incrementally; default leaves them alone."""
+    from medalforge_lakehouse_data_spark.format.table import (
+        parse_partition_field,
+    )
+    from medalforge_lakehouse_data_spark.testing.datagen import (
+        IMAGES_SCHEMA,
+        images_df,
+    )
+
+    t = Table.create(str(tmp_path / "t"), IMAGES_SCHEMA)
+    t.append(spark, images_df(spark, 400, seed=9), target_file_count=4)
+    clustering.cluster_rewrite(t, spark, columns=("phash", "w", "h"),
+                               target_file_bytes=128 * 1024)
+    t.update_partition_spec(["bucket(image_id, 4)"])
+    cur_fields = {parse_partition_field(p)[0]
+                  for p in t.metadata().partition_spec}
+    old_spec = [e for e in t.files(content="data")
+                if set(e.partition or {}) != cur_fields]
+    assert old_spec, "setup: expected old-spec files"
+
+    # default incremental: old-spec but cluster-tagged files are skipped
+    m0 = clustering.cluster_rewrite(t, spark, columns=("phash", "w", "h"),
+                                    mode="incremental", min_input_files=1)
+    assert m0["files_in"] == 0
+
+    m1 = clustering.cluster_rewrite(t, spark, columns=("phash", "w", "h"),
+                                    mode="incremental", min_input_files=1,
+                                    migrate_spec=True)
+    assert m1["files_in"] == len(old_spec)
+    entries = t.files(content="data")
+    assert all(set(e.partition or {}) == cur_fields for e in entries), \
+        "migration left old-spec files behind"
+    assert all(e.cluster for e in entries)
+    assert t.scan(spark).count() == 400
+    # bucket-tier pruning now effective on the WHOLE table
+    from medalforge_lakehouse_data_spark.operators.merge import merge_into
+    from pyspark.sql import functions as F
+    src = images_df(spark, 3, seed=9).withColumn(
+        "caption", F.concat(F.lit("u "), F.col("caption")))
+    mm = merge_into(t, src, ["image_id"], spark)
+    assert mm["affected_files"] < mm["files_total"]
+
+
+# --------------------- 8. streaming windowed agg with watermark
+
+
+def test_stream_windowed_agg_watermark_upsert(spark, tmp_path):
+    """Event-time tumbling windows with a watermark, drained via
+    availableNow into a Table through the engine's MERGE: batch
+    equivalence on the first drain; a second drain over a grown source
+    UPDATES the affected window rows instead of duplicating them."""
+    import datetime
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import (
+        DoubleType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    from medalforge_lakehouse_data_spark.sources.ingest import (
+        stream_windowed_agg,
+    )
+
+    ev_schema = StructType([
+        StructField("ts", TimestampType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+    ])
+    src = str(tmp_path / "events_src")
+    base = datetime.datetime(2024, 7, 1, 10, 0)
+    rows1 = [(base + datetime.timedelta(minutes=7 * i), t, float(i))
+             for i in range(20) for t in ("click", "view")]
+    spark.createDataFrame(rows1, ev_schema).coalesce(2) \
+        .write.mode("append").parquet(src)
+
+    out_schema = StructType([
+        StructField("w_start", TimestampType()),
+        StructField("event_type", StringType()),
+        StructField("n", __import__("pyspark.sql.types", fromlist=["LongType"]).LongType()),
+        StructField("sum_value", DoubleType()),
+    ])
+    t = Table.create(str(tmp_path / "agg"), out_schema)
+    ck = str(tmp_path / "ck")
+    r1 = stream_windowed_agg(spark, src, "parquet", ev_schema, t, ck,
+                             ts_col="ts", window="1 hour",
+                             watermark="2 hours")
+    assert r1.files_processed >= 1  # micro-batches drained
+
+    expect = (spark.read.parquet(src)
+              .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+              .agg(F.count("*").alias("n"),
+                   F.sum(F.col("value").cast("double")).alias("sum_value"))
+              .select(F.col("w.start").alias("w_start"), "event_type",
+                      "n", "sum_value"))
+    got = t.scan(spark)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, expect.collect()))
+
+    # grow the source INSIDE the last window (not late) and re-drain
+    last = max(r[0] for r in rows1)
+    rows2 = [(last + datetime.timedelta(minutes=1), "click", 100.0)]
+    spark.createDataFrame(rows2, ev_schema).coalesce(1) \
+        .write.mode("append").parquet(src)
+    stream_windowed_agg(spark, src, "parquet", ev_schema, t, ck,
+                        ts_col="ts", window="1 hour", watermark="2 hours")
+    got2 = t.scan(spark)
+    expect2 = (spark.read.parquet(src)
+               .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+               .agg(F.count("*").alias("n"),
+                    F.sum(F.col("value").cast("double")).alias("sum_value"))
+               .select(F.col("w.start").alias("w_start"), "event_type",
+                       "n", "sum_value"))
+    assert sorted(map(tuple, got2.collect())) == sorted(map(tuple, expect2.collect())), \
+        "second drain duplicated or failed to update window rows"
