@@ -11,14 +11,14 @@ NOISE PROTOCOL (round-2 VERDICT #1): this sandbox shares a contended
 host — identical configs vary 3-6× run to run (a raw parquet scan
 measured 6.7× slower between rounds). A single run therefore measures
 host load, not the engine. ``python bench.py`` orchestrates
-BENCH_ROUNDS (default 3) fresh-JVM worker runs (``--worker``), waits
+BENCH_ROUNDS (default 4) fresh-JVM worker runs (``--worker``), waits
 for stray JVMs between rounds, and reports the MIN per query across
 rounds — the standard uncontended-run estimator, same protocol as
 tools/bench_scaling.py. ``value`` is the sum of per-query minima;
 ``round_totals`` shows the raw spread for honesty.
 
 Env knobs: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS (default all),
-BENCH_IMAGE_ROWS (default 12000), BENCH_ROUNDS (default 3; 1 = single
+BENCH_IMAGE_ROWS (default 12000), BENCH_ROUNDS (default 4; 1 = single
 in-process run for quick iteration), BENCH_SKIP_MAINTENANCE=1.
 Two-parallelism scaling evidence is produced by tools/bench_scaling.py
 (results recorded in BENCH/BASELINE.md), not here — the driver runs
@@ -388,7 +388,7 @@ if __name__ == "__main__":
     if "--worker" in sys.argv:
         main()
     else:
-        rounds = int(os.environ.get("BENCH_ROUNDS", "3"))
+        rounds = int(os.environ.get("BENCH_ROUNDS", "4"))
         if rounds <= 1:
             main()
         else:

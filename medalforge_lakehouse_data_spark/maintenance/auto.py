@@ -47,6 +47,11 @@ class MaintenancePolicy:
     # 0 disables. Metadata-only check (manifest row counts vs the
     # ann.ivf.trained-rows.* property).
     ivf_retrain_factor: float = 2.0
+    # when the incremental re-cluster runs, also rewrite files recorded
+    # under an OLDER partition spec into the current one (Iceberg-style
+    # spec migration amortized into maintenance). Off by default: right
+    # after update_partition_spec this selects every old-spec file.
+    migrate_spec: bool = False
 
 
 def appends_since_last_compact(table: Table) -> int:
@@ -88,6 +93,7 @@ def maybe_maintain(
                                             policy.target_file_bytes)),
             mode="incremental",
             min_input_files=1,  # even a single untagged file re-clusters
+            migrate_spec=policy.migrate_spec,
             job_id=f"{job_id}-{tag}",
         )
         out.update(clustered=out.get("clustered") or km.get("files_in", 0) > 0,

@@ -591,3 +591,32 @@ def test_stream_windowed_agg_watermark_upsert(spark, tmp_path):
                        "n", "sum_value"))
     assert sorted(map(tuple, got2.collect())) == sorted(map(tuple, expect2.collect())), \
         "second drain duplicated or failed to update window rows"
+
+
+def test_auto_maintenance_migrates_spec_when_policy_enabled(spark, tmp_path):
+    from medalforge_lakehouse_data_spark.format.table import (
+        parse_partition_field,
+    )
+    from medalforge_lakehouse_data_spark.testing.datagen import (
+        IMAGES_SCHEMA,
+        images_df,
+    )
+
+    t = Table.create(str(tmp_path / "t"), IMAGES_SCHEMA)
+    t.append(spark, images_df(spark, 300, seed=13), target_file_count=3)
+    clustering.cluster_rewrite(t, spark, columns=("phash", "w", "h"),
+                               target_file_bytes=128 * 1024)
+    t.update_partition_spec(["bucket(image_id, 4)"])
+    # recluster runs after the compaction trigger fires; the migrate_spec
+    # policy then sweeps the old-spec files along with the new one
+    policy = MaintenancePolicy(compact_after_appends=1, min_small_files=1,
+                               max_delete_files=0, ivf_retrain_factor=0,
+                               migrate_spec=True)
+    t.append(spark, images_df(spark, 30, seed=14, id_offset=10_000))
+    out = maybe_maintain(t, spark, policy)
+    assert out.get("clustered"), out
+    cur_fields = {parse_partition_field(p)[0]
+                  for p in t.metadata().partition_spec}
+    assert all(set(e.partition or {}) == cur_fields
+               for e in t.files(content="data"))
+    assert t.scan(spark).count() == 330
