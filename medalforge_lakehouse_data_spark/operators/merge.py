@@ -295,40 +295,54 @@ def _merge_on_read_conditional(table, source, keys, spark, when_matched,
     target = table.read_entries(spark, affected)
     small = src_count <= BROADCAST_ROW_LIMIT
     t, s = target.alias("t"), (F.broadcast(source) if small else source).alias("s")
-    joined = t.join(s, on=[t[k] == s[k] for k in keys], how="inner")
-    if matched_condition:
-        joined = joined.filter(F.expr(matched_condition))
-    # fired rows feed BOTH the delete-key file and (for update) the
-    # patched versions; cache to evaluate the join once
-    fired = joined.cache()
+    matched = t.join(s, on=[t[k] == s[k] for k in keys], how="inner")
+    fire = F.expr(matched_condition) if matched_condition else F.lit(True)
+    # matched rows feed the delete-key file, the patched versions, AND
+    # the preserved unfired siblings; cache to evaluate the join once
+    matched = matched.withColumn("_fire", fire).cache()
     try:
         added = []
-        fired_keys = fired.select(*[F.col(f"t.{k}").alias(k) for k in keys])
+        fired = matched.filter(F.col("_fire"))
+        fired_keys = fired.select(*[F.col(f"t.{k}").alias(k) for k in keys]) \
+            .distinct()
         n_files = max(1, math.ceil(src_count / 5_000_000))
-        dels = table._write_delete_files(spark, fired_keys.distinct(), keys,
+        dels = table._write_delete_files(spark, fired_keys, keys,
                                          n_files=n_files)
         added += dels
         n_del = sum(e.rows for e in dels)
 
-        patches = None
+        # Equality deletes are KEY-granular but the condition is
+        # ROW-granular: a duplicate-key target whose sibling rows fire
+        # differently would lose the unfired siblings to the delete.
+        # Preserve them verbatim (they re-append alongside the patches;
+        # their original file copies vanish at read time like the fired
+        # ones). With unique target keys this set is empty and costs one
+        # filter+semi-join over the cached matched rows.
+        preserved = (
+            matched.filter(~F.col("_fire"))
+            .join(F.broadcast(fired_keys),
+                  on=[F.col(f"t.{k}") == fired_keys[k] for k in keys],
+                  how="left_semi")
+            .select(*[F.col(f"t.{c}").alias(c) for c in cols])
+        )
+        patches = preserved
         if when_matched == "update":
             upd = set(update_columns or [c for c in cols if c not in keys])
-            patches = fired.select(*[
+            patches = patches.unionByName(fired.select(*[
                 (F.col(f"s.{c}") if c in upd else F.col(f"t.{c}")).alias(c)
                 for c in cols
-            ])
+            ]))
         if when_not_matched == "insert":
             # pruning is conservative, so every table key matching a source
             # key lives in an affected file — anti-join against those only
             tkeys = target.select(*keys).distinct()
             inserts = source.join(tkeys, keys, "left_anti").select(*cols)
-            patches = inserts if patches is None else patches.unionByName(inserts)
-        if patches is not None:
-            props = table.metadata().properties
-            rows_per_file = int(props.get("write.target-rows-per-file", 1_000_000))
-            n_out = max(1, math.ceil(src_count / max(1, rows_per_file)))
-            added += table._write_data_files(spark, patches,
-                                             target_file_count=n_out)
+            patches = patches.unionByName(inserts)
+        props = table.metadata().properties
+        rows_per_file = int(props.get("write.target-rows-per-file", 1_000_000))
+        n_out = max(1, math.ceil(src_count / max(1, rows_per_file)))
+        added += table._write_data_files(spark, patches,
+                                         target_file_count=n_out)
         snap = table.commit_new_entries(
             added, operation="merge",
             commit_key=commit_key or f"merge-{uuid.uuid4().hex}",
@@ -339,7 +353,7 @@ def _merge_on_read_conditional(table, source, keys, spark, when_matched,
                            - prune_metrics["files_kept"]},
         )
     finally:
-        fired.unpersist()
+        matched.unpersist()
     return {
         "snapshot_id": snap.snapshot_id,
         "source_rows": src_count,

@@ -216,3 +216,19 @@ def test_mor_conditional_then_compact_roundtrip(spark, table):
     after = sorted((r.k, r.val) for r in t.scan(spark).collect())
     assert before == after
     assert dict(after)[6] == "new_6" and dict(after)[7] == "old_7"
+
+
+def test_mor_conditional_preserves_unfired_duplicate_key_siblings(spark, tmp_path):
+    """Equality deletes are key-granular; the condition is row-granular.
+    A duplicate-key target whose sibling rows fire differently must keep
+    the unfired sibling (re-appended verbatim), not lose it."""
+    t = Table.create(str(tmp_path / "dup"), SIMPLE)
+    t.append(spark, spark.createDataFrame(
+        [(1, "keep_me"), (1, "patch_me"), (2, "other")], SIMPLE))
+    src = spark.createDataFrame([(1, "patched")], SIMPLE)
+    m = merge_into(t, src, ["k"], spark,
+                   matched_condition="t.val = 'patch_me'",
+                   when_not_matched=None, strategy="merge-on-read")
+    assert m["affected_files"] == 0 and m["delete_rows"] == 1
+    rows = sorted((r.k, r.val) for r in t.scan(spark).collect())
+    assert rows == [(1, "keep_me"), (1, "patched"), (2, "other")], rows
