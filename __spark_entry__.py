@@ -461,6 +461,48 @@ def q_merge_mor_conditional(spark, sf):
     return q_merge_conditional(spark, sf, strategy="merge-on-read")
 
 
+def q_incremental_scan(spark, sf):
+    """Changes-since-snapshot (CDC-lite) scan — Table.changes() (round-4
+    VERDICT #4; Delta CDF / Iceberg incremental-read parity, vs the
+    reference's full re-read of the silver source,
+    reference: silver/application/pipeline.py:29-30).
+
+    Deterministic history over orders: snapshot 1 = o_orderkey%3 != 0;
+    commit 2 appends %3==0 ∧ %4==0; commit 3 MoR-upserts %5==0 with
+    price+1 (blind equality delete of every source key + appended
+    versions); commit 4 MoR-deletes %7==0. changes(since=1) must report
+    exactly those commits' insert rows and delete-key rows."""
+    from medalforge_lakehouse_data_spark.format.table import Table
+    from medalforge_lakehouse_data_spark.operators.merge import merge_into
+
+    o = _t(spark, sf, "orders")
+    price = F.round(F.col("o_totalprice").cast("double"), 2).alias("price")
+    base = o.filter(F.col("o_orderkey") % 3 != 0).select(
+        "o_orderkey", "o_custkey", price)
+    app = o.filter((F.col("o_orderkey") % 3 == 0)
+                   & (F.col("o_orderkey") % 4 == 0)).select(
+        "o_orderkey", "o_custkey", price)
+    ups = o.filter(F.col("o_orderkey") % 5 == 0).select(
+        "o_orderkey", "o_custkey",
+        (F.round(F.col("o_totalprice").cast("double"), 2) + 1).alias("price"))
+    dels = o.filter(F.col("o_orderkey") % 7 == 0).select(
+        "o_orderkey", "o_custkey", price)
+    with tempfile.TemporaryDirectory() as tmp:
+        t = Table.create(os.path.join(tmp, "t"), base.schema)
+        t.append(spark, base, target_file_count=8)          # snapshot 1
+        t.append(spark, app, target_file_count=2)           # snapshot 2
+        merge_into(t, ups, ["o_orderkey"], spark,           # snapshot 3
+                   strategy="merge-on-read")
+        merge_into(t, dels, ["o_orderkey"], spark,          # snapshot 4
+                   when_matched="delete", when_not_matched=None,
+                   strategy="merge-on-read")
+        out = t.changes(spark, from_snapshot_id=1)
+        out = out.select("o_orderkey", "o_custkey", "price",
+                         "_change_type", "_commit_snapshot_id")
+        out = spark.createDataFrame(out.collect(), out.schema)
+    return out
+
+
 # ---------------------------------------------------------------------------
 # Training-data ops over documents/embeddings
 
@@ -715,6 +757,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "merge_mor_upsert": q_merge_mor_upsert,
         "merge_mor_delete": q_merge_mor_delete,
         "merge_mor_conditional": q_merge_mor_conditional,
+        "incremental_scan": q_incremental_scan,
         "docs_token_stats": q_docs_token_stats,
         "docs_lang_id": q_docs_lang_id,
         "docs_exact_dedup": q_docs_exact_dedup,
@@ -971,6 +1014,26 @@ def oracle_sql() -> dict[str, str]:
             source AS (SELECT o_orderkey FROM orders WHERE o_orderkey % 3 = 0)
             SELECT t.o_orderkey, t.o_custkey, round(cast(t.price as double), 2) AS price
             FROM target t ANTI JOIN source s ON t.o_orderkey = s.o_orderkey
+        """,
+        "incremental_scan": """
+            SELECT o_orderkey, o_custkey,
+                   round(cast(o_totalprice as double), 2) AS price,
+                   'insert' AS _change_type,
+                   cast(2 as bigint) AS _commit_snapshot_id
+            FROM orders WHERE o_orderkey % 3 = 0 AND o_orderkey % 4 = 0
+            UNION ALL
+            SELECT o_orderkey, cast(NULL as bigint), cast(NULL as double),
+                   'delete', cast(3 as bigint)
+            FROM orders WHERE o_orderkey % 5 = 0
+            UNION ALL
+            SELECT o_orderkey, o_custkey,
+                   round(cast(o_totalprice as double), 2) + 1,
+                   'insert', cast(3 as bigint)
+            FROM orders WHERE o_orderkey % 5 = 0
+            UNION ALL
+            SELECT o_orderkey, cast(NULL as bigint), cast(NULL as double),
+                   'delete', cast(4 as bigint)
+            FROM orders WHERE o_orderkey % 7 = 0
         """,
         "docs_token_stats": r"""
             WITH t AS (

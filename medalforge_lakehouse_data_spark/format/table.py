@@ -331,11 +331,18 @@ class Table:
             for s in self.metadata().snapshots
         ]
 
-    def set_properties(self, props: dict[str, str]) -> None:
-        """ALTER TABLE SET TBLPROPERTIES parity (idempotent upsert)."""
+    def set_properties(self, props: dict[str, str | None]) -> None:
+        """ALTER TABLE SET TBLPROPERTIES parity (idempotent upsert).
+        A ``None`` value UNSETS the key (ALTER TABLE UNSET TBLPROPERTIES)
+        — used e.g. to drop stale ``cluster.boundaries*`` records when a
+        full rewrite replaces the layout without recording fresh ones."""
 
         def mutate(meta):
-            meta.properties.update(props)
+            for k, v in props.items():
+                if v is None:
+                    meta.properties.pop(k, None)
+                else:
+                    meta.properties[k] = v
             return True, None
 
         self._commit_metadata(mutate)
@@ -804,21 +811,7 @@ class Table:
             for e in unstamped:
                 e.seq = sid
             parent = meta.current_snapshot()
-            if validate_from_sequence is not None and parent is not None:
-                # only delete-bearing manifests are opened (the manifest-list
-                # entry carries a delete_files count); delete manifests are
-                # few and small, so this is a cheap driver-side check
-                for m in parent.manifest_list:
-                    if not isinstance(m, str) and not m.get("delete_files"):
-                        continue
-                    for e in read_manifest(self.root, m):
-                        if e.content == "deletes" and (e.seq or 0) > validate_from_sequence:
-                            raise CommitConflictError(
-                                f"{operation} planned from seq "
-                                f"{validate_from_sequence} but delete file "
-                                f"{e.path} committed at seq {e.seq}; re-read "
-                                f"and retry the unit"
-                            )
+            self._validate_no_new_deletes(parent, validate_from_sequence, operation)
             new_manifest = write_manifest(self.root, added) if added else None
             manifests: list[str] = []
             removed_entries: list[DataFile] = []
@@ -847,22 +840,53 @@ class Table:
 
         return self._commit(operation, build, commit_key)
 
+    def _validate_no_new_deletes(self, parent: Snapshot | None,
+                                 from_seq: int | None, operation: str) -> None:
+        """Raise CommitConflictError if a delete file landed after the
+        sequence this commit PLANNED/READ from (Iceberg's
+        validateNoNewDeleteFiles). Only delete-bearing manifests are
+        opened (the manifest-list entry carries a delete_files count);
+        delete manifests are few and small, so this is a cheap
+        driver-side check. No-op when ``from_seq`` is None."""
+        if from_seq is None or parent is None:
+            return
+        for m in parent.manifest_list:
+            if not isinstance(m, str) and not m.get("delete_files"):
+                continue
+            for e in read_manifest(self.root, m):
+                if e.content == "deletes" and (e.seq or 0) > from_seq:
+                    raise CommitConflictError(
+                        f"{operation} planned from seq {from_seq} but "
+                        f"delete file {e.path} committed at seq {e.seq}; "
+                        f"re-read and retry the unit"
+                    )
+
     def commit_new_entries(
         self,
         entries: list[DataFile],
         operation: str = "append",
         commit_key: str | None = None,
         extra_summary: dict | None = None,
+        validate_from_sequence: int | None = None,
     ) -> Snapshot:
         """Commit already-written entries (data and/or delete files) as
         one new manifest appended to the parent's list — the merge-on-
-        read commit shape (nothing removed, nothing rewritten)."""
+        read commit shape (nothing removed, nothing rewritten).
+
+        ``validate_from_sequence``: sequence the caller PLANNED/READ at.
+        A merge-on-read commit whose appended rows were derived from a
+        read of the table (conditional MoR patches, semi/anti-joined
+        inserts) must fail if a delete file landed in between — the
+        re-appended rows' fresh seq would escape that delete and
+        silently resurrect deleted rows (round-4 ADVICE #1)."""
         # restamped on every CAS attempt, not just the first (ADVICE #3)
         unstamped = [e for e in entries if e.seq is None]
 
         def build(meta: TableMetadata, sid: int):
             for e in unstamped:
                 e.seq = sid
+            self._validate_no_new_deletes(
+                meta.current_snapshot(), validate_from_sequence, operation)
             man = write_manifest(self.root, entries)
             parent = meta.current_snapshot()
             manifests = list(parent.manifest_list) if parent else []
@@ -1000,6 +1024,126 @@ class Table:
         if columns:
             df = df.select(*columns)
         return df
+
+    # operations that rearrange bytes without changing the logical row
+    # set: excluded from changes(). transcode mutates payload bytes but
+    # is maintenance (consumers wanting re-encoded payloads re-scan).
+    _LAYOUT_OPS = frozenset(
+        {"cluster", "compact", "compact-deletes", "drop-deletes",
+         "replace", "transcode", "expire"})
+
+    def changes(
+        self,
+        spark: SparkSession,
+        from_snapshot_id: int,
+        to_snapshot_id: int | None = None,
+    ) -> DataFrame:
+        """Changes-since-snapshot scan (CDC-lite; round-4 VERDICT #4 —
+        Delta CDF / Iceberg incremental-read parity). Returns the
+        row-level changes committed AFTER ``from_snapshot_id`` up to and
+        including ``to_snapshot_id`` (default: current), as the current
+        table schema plus two metadata columns:
+
+          _change_type         'insert' — a row version added;
+                               'delete' — a row version removed. For
+                               equality-delete (merge-on-read) commits
+                               only the delete-key columns are populated
+                               (others NULL): one key row deletes EVERY
+                               earlier version of that key.
+          _commit_snapshot_id  the committing snapshot, so a consumer
+                               can replay in order (apply each commit's
+                               deletes before its inserts).
+
+        Cost scales with the CHANGED data only: each commit in range
+        contributes reads of its own added (and for copy-on-write
+        merges, removed) files — never a full-table re-read, which is
+        the consumer-side win this format's per-snapshot entry lists
+        enable over the reference's re-read-everything silver source
+        (reference: silver/application/pipeline.py:29-30).
+
+        Layout-only commits (cluster/compact/…) contribute nothing. A
+        copy-on-write merge/overwrite carries kept rows verbatim inside
+        its rewritten files, so its logical change set is recovered by
+        diffing added vs removed rows (exceptAll both ways). Snapshots
+        in the range must not be expired (their files must still
+        exist), ``from_snapshot_id=0`` means "since table creation"."""
+        meta = self.metadata()
+        to_id = meta.current_snapshot_id if to_snapshot_id is None else to_snapshot_id
+        if from_snapshot_id:
+            meta.snapshot_by_id(from_snapshot_id)  # validate it exists
+        schema = meta.schema
+        names = schema.fieldNames()
+
+        def _tag(df: DataFrame, ctype: str, sid: int) -> DataFrame:
+            return df.select(
+                *names,
+                F.lit(ctype).alias("_change_type"),
+                F.lit(sid).cast("long").alias("_commit_snapshot_id"),
+            )
+
+        pieces: list[DataFrame] = []
+        prev_paths: dict[int, set] = {}
+
+        def _paths(sid: int | None) -> set:
+            if sid is None:
+                return set()
+            if sid not in prev_paths:
+                prev_paths[sid] = {e.path for e in self.files(sid)}
+            return prev_paths[sid]
+
+        for s in meta.snapshots:
+            if not (from_snapshot_id < s.snapshot_id <= (to_id or 0)):
+                continue
+            if s.operation in self._LAYOUT_OPS:
+                continue
+            parent_paths = _paths(s.parent_id)
+            child = self.files(s.snapshot_id)
+            child_paths = {e.path for e in child}
+            added = [e for e in child if e.path not in parent_paths]
+            removed = ([e for e in self.files(s.parent_id)
+                        if e.path not in child_paths]
+                       if s.parent_id is not None else [])
+            add_data = [e for e in added if e.content == "data"]
+            add_dels = [e for e in added if e.content == "deletes"]
+            rm_data = [e for e in removed if e.content == "data"]
+            for d in add_dels:
+                keys = d.delete_keys or []
+                kdf = spark.read.parquet(os.path.join(self.root, d.path))
+                pieces.append(_tag(
+                    kdf.select(*[
+                        F.col(c).cast(schema[c].dataType).alias(c) if c in keys
+                        else F.lit(None).cast(schema[c].dataType).alias(c)
+                        for c in names
+                    ]),
+                    "delete", s.snapshot_id,
+                ))
+            if rm_data:
+                # copy-on-write rewrite: kept rows appear verbatim on both
+                # sides and cancel; what survives is the logical change
+                new_rows = (self.read_entries(spark, add_data,
+                                              apply_deletes=False)
+                            if add_data else spark.createDataFrame([], schema))
+                old_rows = self.read_entries(spark, rm_data,
+                                             apply_deletes=False)
+                pieces.append(_tag(new_rows.exceptAll(old_rows),
+                                   "insert", s.snapshot_id))
+                pieces.append(_tag(old_rows.exceptAll(new_rows),
+                                   "delete", s.snapshot_id))
+            elif add_data:
+                pieces.append(_tag(
+                    self.read_entries(spark, add_data, apply_deletes=False),
+                    "insert", s.snapshot_id))
+        if not pieces:
+            from pyspark.sql.types import LongType, StructField
+            empty = StructType(list(schema.fields) + [
+                StructField("_change_type", StringType(), False),
+                StructField("_commit_snapshot_id", LongType(), False),
+            ])
+            return spark.createDataFrame([], empty)
+        out = pieces[0]
+        for p in pieces[1:]:
+            out = out.unionByName(p)
+        return out
 
     def read_entries(self, spark: SparkSession, entries: list[DataFile],
                      apply_deletes: bool = True) -> DataFrame:

@@ -64,11 +64,34 @@ def column_bounds(table: Table, columns: Sequence[str], snapshot_id: int | None 
     return {c: (b[0], b[1]) for c, b in bounds.items()}
 
 
+def curve_bits(ncols: int) -> int:
+    """Bits per dimension for a 64-bit curve key — the SINGLE definition
+    shared by the vectorized UDF and the driver-side point replica."""
+    bits = 63 // ncols if ncols > 1 else 63
+    return min(bits, 21 if ncols == 3 else 32 if ncols == 2 else 63)
+
+
+def point_curve_key(values: Sequence, columns: Sequence[str], bounds: dict,
+                    curve: str = "zorder") -> int:
+    """Curve key of ONE point, driver-side (same numpy kernels as the
+    UDF, 1-element arrays). Used to bound a merge source's key span:
+    Morton interleaving is monotone under component-wise dominance, so
+    every source row's key lies in [key(col mins), key(col maxes)]."""
+    bits = curve_bits(len(columns))
+    norm = [
+        normalize_to_bits(
+            np.asarray([0.0 if v is None else float(v)]), lo, hi, bits
+        )
+        for v, (lo, hi) in zip(values, (bounds[c] for c in columns))
+    ]
+    if curve == "hilbert":
+        return int(hilbert_index(norm, bits)[0])
+    return int(morton_interleave(norm)[0])
+
+
 def curve_key_udf(columns: Sequence[str], bounds: dict, curve: str = "zorder"):
     """pandas UDF computing the 64-bit space-filling-curve key."""
-    ncols = len(columns)
-    bits = 63 // ncols if ncols > 1 else 63
-    bits = min(bits, 21 if ncols == 3 else 32 if ncols == 2 else 63)
+    bits = curve_bits(len(columns))
     lo_hi = [bounds[c] for c in columns]
 
     @pandas_udf(LongType())
@@ -99,18 +122,17 @@ def with_curve_key(
     return df.withColumn(out_col, udf(*[F.col(c) for c in columns]))
 
 
-def recorded_layout(props: dict, columns: Sequence[str], curve: str):
-    """Load the boundary set a full-mode cluster job recorded, if it
-    matches this (curve, columns) layout. Returns (bounds, boundaries,
-    rows_at_record) or None. ``bounds`` are the normalization min/max
-    IN FORCE when the boundaries were computed — a consumer must key
-    rows with THESE bounds, not fresh ones, or the keys and boundaries
-    disagree."""
+def recorded_bounds(props: dict, columns: Sequence[str], curve: str):
+    """Load the normalization min/max (``cluster.bounds``) a full-mode
+    cluster job recorded, if it matches this (curve, columns) layout.
+    Returns {col: (lo, hi)} or None. A consumer re-keying rows against
+    the recorded layout (property boundary list OR manifest zranges)
+    must normalize with THESE bounds, not fresh ones, or the keys and
+    the layout disagree."""
     import json as _json
 
-    raw = props.get("cluster.boundaries")
     raw_bounds = props.get("cluster.bounds")
-    if not raw or not raw_bounds:
+    if not raw_bounds:
         return None
     if props.get("cluster.curve", "zorder") != curve:
         return None
@@ -120,13 +142,107 @@ def recorded_layout(props: dict, columns: Sequence[str], curve: str):
         return None
     try:
         bounds = {c: tuple(v) for c, v in _json.loads(raw_bounds).items()}
-        bnds = [int(x) for x in raw.split(",") if x]
-        rows = int(props.get("cluster.boundaries-rows", "0"))
     except (ValueError, AttributeError):
         return None
     if any(c not in bounds for c in columns):
         return None
+    return bounds
+
+
+def recorded_layout(props: dict, columns: Sequence[str], curve: str):
+    """Load the boundary set a full-mode cluster job recorded, if it
+    matches this (curve, columns) layout. Returns (bounds, boundaries,
+    rows_at_record) or None. ``bounds`` are the normalization min/max
+    IN FORCE when the boundaries were computed (see recorded_bounds)."""
+    bounds = recorded_bounds(props, columns, curve)
+    if bounds is None:
+        return None
+    raw = props.get("cluster.boundaries")
+    if not raw:
+        return None
+    try:
+        bnds = [int(x) for x in raw.split(",") if x]
+        rows = int(props.get("cluster.boundaries-rows", "0"))
+    except (ValueError, AttributeError):
+        return None
     return bounds, bnds, rows
+
+
+def bounds_within(inner: dict, outer: dict, columns: Sequence[str],
+                  tol: float = 0.01) -> bool:
+    """Is every column's ``inner`` range inside ``outer`` with a
+    tol-of-span tolerance? Values marginally outside the recorded
+    bounds clamp at the curve edge (harmless for pruning quality);
+    gross overshoot piles rows into the edge partition, so callers
+    fall back to fresh bounds then. Non-numeric bounds → False."""
+    for c in columns:
+        lo, hi = inner.get(c, (None, None))
+        if lo is None or hi is None:
+            return False
+        rlo, rhi = outer[c]
+        try:
+            t = tol * (float(rhi) - float(rlo))
+            if float(lo) < float(rlo) - t or float(hi) > float(rhi) + t:
+                return False
+        except (TypeError, ValueError):
+            return False
+    return True
+
+
+def manifest_layout_boundaries(
+    table: Table,
+    columns: Sequence[str],
+    curve: str,
+    target_file_bytes: int,
+    min_coverage: float = 0.5,
+    span: tuple[int, int] | None = None,
+) -> list[int] | None:
+    """Equal-frequency curve-key boundaries derived from the manifests'
+    recorded per-file zkey ranges + row counts — pure driver-side
+    metadata work, zero Spark jobs, and no size cap (round-4 VERDICT
+    #1: the property-recorded list stops at MAX_RECORDED_BOUNDARIES ≈
+    512 GB; manifest stats describe the layout at any scale).
+
+    Treats each clustered file as a uniform row distribution over its
+    [zlo, zhi] range and places boundaries at cumulative row quantiles,
+    targeting one range per ``target_file_bytes``. Valid only for files
+    keyed under the recorded ``cluster.bounds`` normalization (the only
+    writers that stamp zranges). Returns None when the zrange-bearing
+    clustered files cover less than ``min_coverage`` of live data rows
+    (the layout no longer describes the table — run a cluster pass).
+    ``span=(lo, hi)``: optionally restrict the returned list to the
+    merge's own key span so a sliver rewrite doesn't schedule one
+    shuffle partition per table range."""
+    tag = {"curve": curve, "columns": list(columns)}
+    data = table.files(content="data")
+    total_rows = sum(e.rows for e in data)
+    segs = [(int(e.zrange[0]), int(e.zrange[1]), e.rows, e.bytes)
+            for e in data
+            if e.cluster == tag and e.zrange is not None and e.rows > 0]
+    if not segs or total_rows <= 0:
+        return None
+    cov_rows = sum(s[2] for s in segs)
+    if cov_rows / total_rows < min_coverage:
+        return None
+    n_out = max(1, round(sum(s[3] for s in segs) / max(1, target_file_bytes)))
+    if n_out <= 1:
+        return []
+    segs.sort()
+    targets = [q * cov_rows / n_out for q in range(1, n_out)]
+    bnds: list[int] = []
+    cum = 0.0
+    ti = 0
+    for lo, hi, rows, _b in segs:
+        while ti < len(targets) and cum + rows >= targets[ti]:
+            frac = (targets[ti] - cum) / rows
+            bnds.append(int(lo + frac * (hi - lo)))
+            ti += 1
+        cum += rows
+    bnds = sorted(set(bnds))
+    if span is not None:
+        slo, shi = span
+        bnds = [b for b in bnds if slo <= b <= shi]
+    return bnds
 
 
 def curve_boundaries(
@@ -243,6 +359,29 @@ def hash_preimages(spark: SparkSession, n: int) -> list[int]:
     raise RuntimeError(f"could not find hash preimages for n={n}")
 
 
+_PART_ID_RE = __import__("re").compile(r"part-(\d+)")
+
+
+def _stamp_zranges(entries: list, boundaries: list[int]) -> None:
+    """Record each written file's inclusive curve-key range on its
+    manifest entry. The shuffle-partition id in the parquet part name IS
+    the range id (hash-preimage routing maps range p to shuffle
+    partition p by construction), and range p's rows fall in
+    [boundaries[p-1], boundaries[p]] — inclusive on BOTH edges because
+    the tie-spread can land boundary-valued rows in either neighbor."""
+    lo_edge, hi_edge = -(1 << 63), (1 << 63) - 1
+    for e in entries:
+        m = _PART_ID_RE.search(os.path.basename(e.path))
+        if not m:
+            continue
+        p = int(m.group(1))
+        if p > len(boundaries):
+            continue
+        lo = boundaries[p - 1] if p > 0 else lo_edge
+        hi = boundaries[p] if p < len(boundaries) else hi_edge
+        e.zrange = [int(lo), int(hi)]
+
+
 def write_range_partitioned(
     table: Table,
     spark: SparkSession,
@@ -250,11 +389,18 @@ def write_range_partitioned(
     n_out: int,
     boundaries: list[int],
     sort_within: list[str],
+    record_zrange: bool = False,
 ) -> list:
     """One-pass range-partitioned write: assign each row its range id from
     precomputed ``boundaries``, map the id through a hash preimage, and
     hash-shuffle — rows land range-clustered without repartitionByRange's
-    second evaluation of the child plan."""
+    second evaluation of the child plan.
+
+    ``record_zrange``: stamp each entry's curve-key range (manifest-
+    derived merge boundaries). Callers must set this ONLY when the keys
+    were computed under the table's recorded ``cluster.bounds``
+    normalization — zranges keyed under drifted bounds would poison the
+    derived layout."""
     if n_out <= 1 or not boundaries:
         return table._write_data_files(
             spark, keyed, target_file_count=max(1, n_out),
@@ -264,10 +410,13 @@ def write_range_partitioned(
     keyed = keyed.withColumn(
         "_px", px_udf(F.col(sort_within[0]), F.col(sort_within[-1]))
     )
-    return table._write_data_files(
+    added = table._write_data_files(
         spark, keyed, target_file_count=n_out,
         sort_within=sort_within, shuffle_col="_px",
     )
+    if record_zrange:
+        _stamp_zranges(added, boundaries)
+    return added
 
 
 def cluster_rewrite(
@@ -281,6 +430,7 @@ def cluster_rewrite(
     mode: str = "full",
     min_input_files: int = 2,
     migrate_spec: bool = False,
+    migrate_max_bytes: int | None = None,
 ) -> dict:
     """Rewrite table files clustered along the curve. Returns metrics.
 
@@ -302,6 +452,15 @@ def cluster_rewrite(
     Off by default: right after a spec evolution this selects every
     old-spec file, which a caller should opt into knowingly.
 
+    migrate_max_bytes (round-4 VERDICT #3): cap the bytes of old-spec
+    files migrated per run, OLDEST first (commit seq order) — a huge
+    old table then migrates across several maintenance windows, each
+    run committing its slice, instead of one table-sized rewrite. At
+    least one file migrates per run regardless of the cap. Scans stay
+    correct mid-migration (mixed-spec pruning matches per-entry
+    partition values when present, column stats otherwise). Metrics
+    report migrate_files/migrate_bytes/migrate_remaining_files.
+
     Output files are tagged (DataFile.cluster) and the clustering spec
     is recorded in table properties so MERGE can preserve the layout."""
     t0 = time.monotonic()
@@ -319,12 +478,23 @@ def cluster_rewrite(
     ]
     # record the layout so MERGE/compaction can preserve it (and for
     # incremental re-clustering); property write precedes the data commit,
-    # which is the one guarded by commit_key
-    table.set_properties({
+    # which is the one guarded by commit_key. A (curve, columns) change
+    # clears the old config's bounds/boundary records in the same step —
+    # stale ones would otherwise be served under the new config's label
+    # until this job's final record lands (round-4 ADVICE #4 family).
+    props0 = table.metadata().properties
+    old_cols = [c.strip() for c in props0.get("cluster.columns", "").split(",")
+                if c.strip()]
+    new_props: dict = {
         "cluster.curve": curve,
         "cluster.columns": ",".join(columns),
         "cluster.target-file-bytes": str(target_file_bytes),
-    })
+    }
+    if old_cols and (old_cols != list(columns)
+                     or props0.get("cluster.curve", "zorder") != curve):
+        new_props.update({"cluster.bounds": None, "cluster.boundaries": None,
+                          "cluster.boundaries-rows": None})
+    table.set_properties(new_props)
     # Read→rewrite must detect a MoR delete committed in between (the
     # rewritten rows' fresh seq would escape it — round-2 ADVICE #2):
     # validate_from_sequence fails the commit, and the unit re-plans.
@@ -335,6 +505,7 @@ def cluster_rewrite(
     # left that file referenced, duplicating its rows (round-3 ADVICE #2).
     from medalforge_lakehouse_data_spark.format.table import parse_partition_field
 
+    mig_metrics: dict = {}
     for attempt in range(5):
         all_files = table.files(snapshot_id, content="data")
         if mode == "incremental":
@@ -345,10 +516,30 @@ def cluster_rewrite(
                 stale = [e for e in all_files
                          if e.cluster == tag
                          and set(e.partition or {}) != cur_fields]
+                if migrate_max_bytes and stale:
+                    stale.sort(key=lambda e: (e.seq or 0, e.path))
+                    acc, take = 0, []
+                    for e in stale:
+                        if take and acc + e.bytes > migrate_max_bytes:
+                            break
+                        take.append(e)
+                        acc += e.bytes
+                    mig_metrics = {
+                        "migrate_files": len(take),
+                        "migrate_bytes": acc,
+                        "migrate_remaining_files": len(stale) - len(take),
+                    }
+                    stale = take
+                else:
+                    mig_metrics = {
+                        "migrate_files": len(stale),
+                        "migrate_bytes": sum(e.bytes for e in stale),
+                        "migrate_remaining_files": 0,
+                    }
                 files += stale
             if len(files) < min_input_files:
                 return {"job_id": job_id, "files_in": 0, "files_out": 0,
-                        "skipped": len(files), "seconds": 0.0}
+                        "skipped": len(files), "seconds": 0.0, **mig_metrics}
         else:
             files = all_files
         if not files:
@@ -368,6 +559,19 @@ def cluster_rewrite(
             ).collect()[0]
             for c in missing:
                 bounds[c] = (agg[f"mn_{c}"], agg[f"mx_{c}"])
+        # Full mode records ``bounds`` as the table's normalization, so
+        # its output zranges are consistent by construction. Incremental
+        # runs instead ADOPT the recorded normalization when the live
+        # bounds still fit inside it (1%-of-span tolerance) — their
+        # output then overlays the recorded layout exactly and can carry
+        # zranges; with drifted bounds they key fresh and stay unstamped
+        # (a later full pass re-records).
+        stamp_zrange = mode == "full"
+        if mode == "incremental":
+            rec_b = recorded_bounds(table.metadata().properties, columns, curve)
+            if rec_b is not None and bounds_within(bounds, rec_b, columns):
+                bounds = rec_b
+                stamp_zrange = True
         plan_seq = (snapshot_id if snapshot_id is not None
                     else table.metadata().last_sequence)
         # schema-evolution-safe entry-pinned read (full mode included):
@@ -385,7 +589,8 @@ def cluster_rewrite(
         keys_only = with_curve_key(df.select(*columns), columns, bounds, curve)
         bnds = curve_boundaries(keys_only, n_out)
         added = write_range_partitioned(
-            table, spark, keyed, n_out, bnds, ["_zkey", "_ztie"]
+            table, spark, keyed, n_out, bnds, ["_zkey", "_ztie"],
+            record_zrange=stamp_zrange,
         )
         for e in added:
             e.cluster = tag
@@ -417,21 +622,38 @@ def cluster_rewrite(
     # re-key on the recorded boundaries instead of paying a keys-only
     # percentile job per merge. Incremental runs cover only NEW files,
     # whose boundaries do not describe the table — never record those.
-    if (len(files) == len(all_files)
-            and len(bnds) <= MAX_RECORDED_BOUNDARIES):
+    # When a full rewrite completes WITHOUT recording a fresh boundary
+    # list, the previous records are cleared in the same step: stale
+    # properties would keep merges re-keying to a layout this rewrite
+    # just replaced (round-4 ADVICE #4). Past the property cap the
+    # normalization bounds + row count (small) are still recorded —
+    # merges then derive the boundary list from manifest zranges
+    # (manifest_layout_boundaries), which has no cap.
+    if len(files) == len(all_files):
         import json as _json
 
+        rows_rec = str(snap.summary.get("total_rows",
+                                        sum(e.rows for e in added)))
         try:
             bounds_json = _json.dumps(
                 {c: [bounds[c][0], bounds[c][1]] for c in columns})
         except TypeError:
-            bounds_json = None  # non-JSON bound type (e.g. date) — skip
-        if bounds_json is not None:
+            bounds_json = None  # non-JSON bound type (e.g. date)
+        if bounds_json is None:
+            table.set_properties({"cluster.bounds": None,
+                                  "cluster.boundaries": None,
+                                  "cluster.boundaries-rows": None})
+        elif len(bnds) <= MAX_RECORDED_BOUNDARIES:
             table.set_properties({
                 "cluster.bounds": bounds_json,
                 "cluster.boundaries": ",".join(str(b) for b in bnds),
-                "cluster.boundaries-rows": str(
-                    snap.summary.get("total_rows", sum(e.rows for e in added))),
+                "cluster.boundaries-rows": rows_rec,
+            })
+        else:
+            table.set_properties({
+                "cluster.bounds": bounds_json,
+                "cluster.boundaries": None,
+                "cluster.boundaries-rows": rows_rec,
             })
     dt = time.monotonic() - t0
     return {
@@ -445,4 +667,5 @@ def cluster_rewrite(
         "gb_per_min": (total_bytes / 1e9) / (dt / 60) if dt > 0 else 0.0,
         "files_per_min": len(files) / (dt / 60) if dt > 0 else 0.0,
         "curve": curve,
+        **mig_metrics,
     }

@@ -159,6 +159,7 @@ def merge_into(
         out = _write_and_commit(
             table, spark, result, affected, prune_metrics, src_count,
             keys, commit_key, cols, t0, plan_seq, source=source,
+            update_columns=update_columns,
         )
         source.unpersist()
         return out
@@ -237,11 +238,23 @@ def _plan_affected(table, source, keys, spark, src_count):
     source key. Returns (affected_entries, prune_metrics, plan_seq)."""
     from medalforge_lakehouse_data_spark.format.table import parse_partition_field
 
+    import math
+
     k0 = keys[0]
     plan_filters: list = []
+    bucket_prune = None
     for p in table.partition_spec:
         fname, src_col, transform, n = parse_partition_field(p)
         if transform == "bucket" and src_col in keys:
+            # Coupon-collector bound (round-4 VERDICT #6): a source with
+            # src_count ≫ N·ln N distinct keys has hashed into every
+            # bucket with overwhelming probability (P[missing one] ≤
+            # N·(1-1/N)^cnt ≈ N^-3 at the 4× margin) — the IN-filter
+            # would keep everything, so skip the distinct-bucket agg job
+            # entirely. Skipping only loses pruning, never correctness.
+            if src_count > max(64, int(4 * n * math.log(n + 1))):
+                bucket_prune = "skipped-dense"
+                continue
             bkts = sorted(
                 r[0]
                 for r in source.select(
@@ -249,6 +262,7 @@ def _plan_affected(table, source, keys, spark, src_count):
                 ).distinct().collect()
                 if r[0] is not None
             )
+            bucket_prune = "collected"
             if bkts:
                 plan_filters.append((fname, "in", tuple(bkts)))
     b = source.agg(F.min(k0).alias("mn"), F.max(k0).alias("mx")).collect()[0]
@@ -257,6 +271,7 @@ def _plan_affected(table, source, keys, spark, src_count):
     # would not apply to the rewritten rows; rewrite_files validates
     plan_seq = table.metadata().last_sequence
     affected, prune_metrics = table.plan_files(filters=plan_filters)
+    prune_metrics["bucket_prune"] = bucket_prune
     if 0 < src_count <= MERGE_KEY_COLLECT_LIMIT:
         from medalforge_lakehouse_data_spark.format.bloom import hash_values
 
@@ -283,77 +298,97 @@ def _merge_on_read_conditional(table, source, keys, spark, when_matched,
     The appended patch files carry the commit's sequence number, which
     is NOT lower than the delete file's, so the equality delete never
     cancels its own patches (same ordering rule the plain MoR upsert
-    relies on)."""
+    relies on).
+
+    The patches/inserts are derived from a READ of the table, so the
+    commit validates that no delete file landed after the plan sequence
+    (round-4 ADVICE #1 — a concurrent MoR delete would otherwise be
+    bypassed by the re-appended rows' fresh seq); on conflict the whole
+    unit re-plans and re-reads (orphaned first-attempt files are GC'd
+    by snapshot expiry, same as the cluster-rewrite retry path)."""
     import math
+
+    from medalforge_lakehouse_data_spark.format.table import CommitConflictError
 
     if update_columns:
         bad = [c for c in update_columns if c not in cols or c in keys]
         if bad:
             raise ValueError(f"update_columns not updatable (missing or keys): {bad}")
-    affected, prune_metrics, _ = _plan_affected(table, source, keys, spark,
-                                                src_count)
-    target = table.read_entries(spark, affected)
-    small = src_count <= BROADCAST_ROW_LIMIT
-    t, s = target.alias("t"), (F.broadcast(source) if small else source).alias("s")
-    matched = t.join(s, on=[t[k] == s[k] for k in keys], how="inner")
-    fire = F.expr(matched_condition) if matched_condition else F.lit(True)
-    # matched rows feed the delete-key file, the patched versions, AND
-    # the preserved unfired siblings; cache to evaluate the join once
-    matched = matched.withColumn("_fire", fire).cache()
-    try:
-        added = []
-        fired = matched.filter(F.col("_fire"))
-        fired_keys = fired.select(*[F.col(f"t.{k}").alias(k) for k in keys]) \
-            .distinct()
-        n_files = max(1, math.ceil(src_count / 5_000_000))
-        dels = table._write_delete_files(spark, fired_keys, keys,
-                                         n_files=n_files)
-        added += dels
-        n_del = sum(e.rows for e in dels)
+    for attempt in range(5):
+        affected, prune_metrics, plan_seq = _plan_affected(
+            table, source, keys, spark, src_count)
+        target = table.read_entries(spark, affected)
+        small = src_count <= BROADCAST_ROW_LIMIT
+        t, s = target.alias("t"), (F.broadcast(source) if small else source).alias("s")
+        matched = t.join(s, on=[t[k] == s[k] for k in keys], how="inner")
+        fire = F.expr(matched_condition) if matched_condition else F.lit(True)
+        # matched rows feed the delete-key file, the patched versions, AND
+        # the preserved unfired siblings; cache to evaluate the join once
+        matched = matched.withColumn("_fire", fire).cache()
+        try:
+            added = []
+            fired = matched.filter(F.col("_fire"))
+            fired_keys = fired.select(*[F.col(f"t.{k}").alias(k) for k in keys]) \
+                .distinct()
+            n_files = max(1, math.ceil(src_count / 5_000_000))
+            dels = table._write_delete_files(spark, fired_keys, keys,
+                                             n_files=n_files)
+            added += dels
+            n_del = sum(e.rows for e in dels)
 
-        # Equality deletes are KEY-granular but the condition is
-        # ROW-granular: a duplicate-key target whose sibling rows fire
-        # differently would lose the unfired siblings to the delete.
-        # Preserve them verbatim (they re-append alongside the patches;
-        # their original file copies vanish at read time like the fired
-        # ones). With unique target keys this set is empty and costs one
-        # filter+semi-join over the cached matched rows.
-        preserved = (
-            matched.filter(~F.col("_fire"))
-            .join(F.broadcast(fired_keys),
-                  on=[F.col(f"t.{k}") == fired_keys[k] for k in keys],
-                  how="left_semi")
-            .select(*[F.col(f"t.{c}").alias(c) for c in cols])
-        )
-        patches = preserved
-        if when_matched == "update":
-            upd = set(update_columns or [c for c in cols if c not in keys])
-            patches = patches.unionByName(fired.select(*[
-                (F.col(f"s.{c}") if c in upd else F.col(f"t.{c}")).alias(c)
-                for c in cols
-            ]))
-        if when_not_matched == "insert":
-            # pruning is conservative, so every table key matching a source
-            # key lives in an affected file — anti-join against those only
-            tkeys = target.select(*keys).distinct()
-            inserts = source.join(tkeys, keys, "left_anti").select(*cols)
-            patches = patches.unionByName(inserts)
-        props = table.metadata().properties
-        rows_per_file = int(props.get("write.target-rows-per-file", 1_000_000))
-        n_out = max(1, math.ceil(src_count / max(1, rows_per_file)))
-        added += table._write_data_files(spark, patches,
-                                         target_file_count=n_out)
-        snap = table.commit_new_entries(
-            added, operation="merge",
-            commit_key=commit_key or f"merge-{uuid.uuid4().hex}",
-            extra_summary={"merge_keys": keys, "source_rows": src_count,
-                           "strategy": "merge-on-read",
-                           "matched_condition": matched_condition or "",
-                           "files_pruned": prune_metrics["files_total"]
-                           - prune_metrics["files_kept"]},
-        )
-    finally:
-        matched.unpersist()
+            # Equality deletes are KEY-granular but the condition is
+            # ROW-granular: a duplicate-key target whose sibling rows fire
+            # differently would lose the unfired siblings to the delete.
+            # Preserve them verbatim (they re-append alongside the patches;
+            # their original file copies vanish at read time like the fired
+            # ones). With unique target keys this set is empty and costs one
+            # filter+semi-join over the cached matched rows. fired_keys is
+            # O(source) rows and MoR is the intended huge-source path, so
+            # the broadcast is gated like the source's (round-4 ADVICE #2);
+            # large sources fall back to a shuffle semi-join.
+            fk = F.broadcast(fired_keys) if small else fired_keys
+            preserved = (
+                matched.filter(~F.col("_fire"))
+                .join(fk,
+                      on=[F.col(f"t.{k}") == fk[k] for k in keys],
+                      how="left_semi")
+                .select(*[F.col(f"t.{c}").alias(c) for c in cols])
+            )
+            patches = preserved
+            if when_matched == "update":
+                upd = set(update_columns or [c for c in cols if c not in keys])
+                patches = patches.unionByName(fired.select(*[
+                    (F.col(f"s.{c}") if c in upd else F.col(f"t.{c}")).alias(c)
+                    for c in cols
+                ]))
+            if when_not_matched == "insert":
+                # pruning is conservative, so every table key matching a source
+                # key lives in an affected file — anti-join against those only
+                tkeys = target.select(*keys).distinct()
+                inserts = source.join(tkeys, keys, "left_anti").select(*cols)
+                patches = patches.unionByName(inserts)
+            props = table.metadata().properties
+            rows_per_file = int(props.get("write.target-rows-per-file", 1_000_000))
+            n_out = max(1, math.ceil(src_count / max(1, rows_per_file)))
+            added += table._write_data_files(spark, patches,
+                                             target_file_count=n_out)
+            snap = table.commit_new_entries(
+                added, operation="merge",
+                commit_key=commit_key or f"merge-{uuid.uuid4().hex}",
+                extra_summary={"merge_keys": keys, "source_rows": src_count,
+                               "strategy": "merge-on-read",
+                               "matched_condition": matched_condition or "",
+                               "files_pruned": prune_metrics["files_total"]
+                               - prune_metrics["files_kept"]},
+                validate_from_sequence=plan_seq,
+            )
+            break
+        except CommitConflictError:
+            if attempt == 4:
+                raise
+            continue
+        finally:
+            matched.unpersist()
     return {
         "snapshot_id": snap.snapshot_id,
         "source_rows": src_count,
@@ -372,39 +407,56 @@ def _merge_on_read(table, source, keys, spark, when_matched, when_not_matched,
     file of the source keys (matched rows vanish at read time for data
     files with lower seq) + one append of the new row versions. The only
     target read is a keys-only projection, and only for the variants
-    whose insert/append set depends on matched-ness."""
+    whose insert/append set depends on matched-ness — exactly those
+    variants validate at commit that no delete file landed after the
+    read (stale matched-ness would resurrect or drop rows; round-4
+    ADVICE #1 applied here too). The pure upsert path appends the source
+    verbatim and needs no validation."""
     import math
 
-    added = []
-    n_del = 0
-    if when_matched in ("update", "delete"):
-        dkeys = source.select(*keys).distinct()
-        n_files = max(1, math.ceil(src_count / 5_000_000))
-        dels = table._write_delete_files(spark, dkeys, keys, n_files=n_files)
-        added += dels
-        n_del = sum(e.rows for e in dels)
-    rows_df = None
-    if when_not_matched == "insert":
-        if when_matched == "update":
-            rows_df = source  # delete+insert of every source row = upsert
-        else:
+    from medalforge_lakehouse_data_spark.format.table import CommitConflictError
+
+    for attempt in range(5):
+        added = []
+        n_del = 0
+        if when_matched in ("update", "delete"):
+            dkeys = source.select(*keys).distinct()
+            n_files = max(1, math.ceil(src_count / 5_000_000))
+            dels = table._write_delete_files(spark, dkeys, keys, n_files=n_files)
+            added += dels
+            n_del = sum(e.rows for e in dels)
+        rows_df = None
+        plan_seq = None
+        if when_not_matched == "insert":
+            if when_matched == "update":
+                rows_df = source  # delete+insert of every source row = upsert
+            else:
+                plan_seq = table.metadata().last_sequence
+                tkeys = table.scan(spark, columns=keys).distinct()
+                rows_df = source.join(tkeys, keys, "left_anti")
+        elif when_matched == "update":
+            plan_seq = table.metadata().last_sequence
             tkeys = table.scan(spark, columns=keys).distinct()
-            rows_df = source.join(tkeys, keys, "left_anti")
-    elif when_matched == "update":
-        tkeys = table.scan(spark, columns=keys).distinct()
-        rows_df = source.join(tkeys, keys, "left_semi")
-    if rows_df is not None:
-        props = table.metadata().properties
-        rows_per_file = int(props.get("write.target-rows-per-file", 1_000_000))
-        n_out = max(1, math.ceil(src_count / max(1, rows_per_file)))
-        added += table._write_data_files(spark, rows_df.select(*cols),
-                                         target_file_count=n_out)
-    snap = table.commit_new_entries(
-        added, operation="merge",
-        commit_key=commit_key or f"merge-{uuid.uuid4().hex}",
-        extra_summary={"merge_keys": keys, "source_rows": src_count,
-                       "strategy": "merge-on-read"},
-    )
+            rows_df = source.join(tkeys, keys, "left_semi")
+        if rows_df is not None:
+            props = table.metadata().properties
+            rows_per_file = int(props.get("write.target-rows-per-file", 1_000_000))
+            n_out = max(1, math.ceil(src_count / max(1, rows_per_file)))
+            added += table._write_data_files(spark, rows_df.select(*cols),
+                                             target_file_count=n_out)
+        try:
+            snap = table.commit_new_entries(
+                added, operation="merge",
+                commit_key=commit_key or f"merge-{uuid.uuid4().hex}",
+                extra_summary={"merge_keys": keys, "source_rows": src_count,
+                               "strategy": "merge-on-read"},
+                validate_from_sequence=plan_seq,
+            )
+            break
+        except CommitConflictError:
+            if attempt == 4:
+                raise
+            continue
     return {
         "snapshot_id": snap.snapshot_id,
         "source_rows": src_count,
@@ -459,9 +511,42 @@ def _conditional_merge_rows(
     return out
 
 
+def _merge_key_span(affected, sb, cl_cols, rec_bounds, curve,
+                    point_curve_key) -> tuple[int, int] | None:
+    """Inclusive curve-key span every merge-result row falls in, or None
+    when it cannot be bounded. Kept target rows are bounded by their
+    affected files' recorded zranges; verbatim source rows, for the
+    Morton curve, by [key(col mins), key(col maxes)] (interleave is
+    monotone under component-wise dominance — disjoint-bit sum of
+    per-coordinate monotone spreads). Hilbert is NOT dominance-monotone,
+    so no source bound exists there."""
+    if curve != "zorder":
+        return None
+    lo = hi = None
+    for e in affected:
+        if e.zrange is None:
+            return None  # untagged file in the set — rows unbounded
+        lo = e.zrange[0] if lo is None else min(lo, e.zrange[0])
+        hi = e.zrange[1] if hi is None else max(hi, e.zrange[1])
+    if sb is None:
+        return None  # no source bounds collected — source rows unbounded
+    if any(sb[f"nn_{c}"] for c in cl_cols):
+        return None  # nulls key at coordinate 0, outside the dominance box
+    if all(sb[f"mn_{c}"] is not None for c in cl_cols):
+        slo = point_curve_key([sb[f"mn_{c}"] for c in cl_cols], cl_cols,
+                              rec_bounds, curve)
+        shi = point_curve_key([sb[f"mx_{c}"] for c in cl_cols], cl_cols,
+                              rec_bounds, curve)
+        lo = slo if lo is None else min(lo, slo)
+        hi = shi if hi is None else max(hi, shi)
+    if lo is None or hi is None:
+        return None
+    return (int(lo), int(hi))
+
+
 def _write_and_commit(table, spark, result, affected, prune_metrics, src_count,
                       keys, commit_key, cols, t0, plan_seq=None,
-                      source=None) -> dict:
+                      source=None, update_columns=None) -> dict:
     """Shared MERGE tail: size outputs, preserve any recorded clustering
     layout, write the replacement files, and commit the rewrite."""
     # size outputs to the incoming data volume; the rows-based floor covers
@@ -499,28 +584,38 @@ def _write_and_commit(table, spark, result, affected, prune_metrics, src_count,
     avg_row_bytes = (tb / tr) if tr else 0
     est_result_bytes = bytes_affected + int(src_count * avg_row_bytes)
     served_bnds = None
+    bnds_source = None
     if cl_cols and all(c in cols for c in cl_cols) and est_result_bytes >= rekey_min:
         from medalforge_lakehouse_data_spark.maintenance.clustering import (
             column_bounds,
+            manifest_layout_boundaries,
+            point_curve_key,
+            recorded_bounds,
             recorded_layout,
             with_curve_key,
         )
 
-        # Serve the range boundaries a full-mode cluster job recorded in
-        # table properties instead of running a keys-only percentile job
-        # per merge (round-3 VERDICT #1a) — valid only while the rows
-        # being re-keyed normalize IDENTICALLY to how the boundaries were
-        # computed, and the recorded equal-frequency split still
-        # describes the table:
-        #   1. current table bounds ⊆ recorded bounds (metadata-only),
+        # Serve the range boundaries of the table's recorded layout
+        # instead of running a keys-only percentile job per merge
+        # (round-3 VERDICT #1a), from one of two sources:
+        #   "recorded" — the cluster.boundaries property list (full-mode
+        #      cluster jobs up to MAX_RECORDED_BOUNDARIES), while table
+        #      rows < 2x rows at record time (growth staleness);
+        #   "manifest" — equal-frequency boundaries derived driver-side
+        #      from the clustered files' per-entry zkey ranges + row
+        #      counts (round-4 VERDICT #1: no size cap, and current by
+        #      construction — it reads the LIVE file layout).
+        # Both are valid only while the rows being re-keyed normalize
+        # IDENTICALLY to how the layout was keyed:
+        #   1. current table bounds ⊆ recorded cluster.bounds
+        #      (metadata-only),
         #   2. source bounds ⊆ recorded bounds (one agg on the cached
-        #      source — far cheaper than the keys-only scan it replaces),
-        #   3. table rows < 2x rows at record time (growth staleness).
+        #      source — far cheaper than the keys-only scan it replaces).
         # Any miss falls back to the fresh percentile pass.
         cur_bounds = column_bounds(table, cl_cols)
-        rec = recorded_layout(props, cl_cols, curve)
-        if rec is not None:
-            rec_bounds, rec_bnds, rec_rows = rec
+        rec_bounds = recorded_bounds(props, cl_cols, curve)
+        sb = None
+        if rec_bounds is not None:
 
             # Containment with 1%-of-span tolerance: values marginally
             # outside the recorded bounds clamp at the curve edge (a
@@ -537,20 +632,46 @@ def _write_and_commit(table, spark, result, affected, prune_metrics, src_count,
                 return (lo is not None and float(lo) >= float(rlo) - tol
                         and float(hi) <= float(rhi) + tol)
 
-            ok = (rec_rows > 0 and tr <= 2 * rec_rows and all(
-                _within(cur_bounds[c][0], cur_bounds[c][1], c)
-                for c in cl_cols))
+            ok = all(_within(cur_bounds[c][0], cur_bounds[c][1], c)
+                     for c in cl_cols)
             if ok and source is not None and all(c in source.columns for c in cl_cols):
+                # null counts included: a null cluster-column value keys
+                # at coordinate 0, outside the [key(mins), key(maxes)]
+                # dominance bound — the span restriction must then be
+                # dropped (boundaries list served in full instead)
                 sb = source.agg(
                     *[F.min(c).alias(f"mn_{c}") for c in cl_cols],
                     *[F.max(c).alias(f"mx_{c}") for c in cl_cols],
+                    *[F.sum(F.col(c).isNull().cast("long")).alias(f"nn_{c}")
+                      for c in cl_cols],
                 ).collect()[0]
                 ok = all(
                     sb[f"mn_{c}"] is None
                     or _within(sb[f"mn_{c}"], sb[f"mx_{c}"], c)
                     for c in cl_cols)
-            if ok:
-                bounds, served_bnds = rec_bounds, rec_bnds
+            rec = recorded_layout(props, cl_cols, curve) if ok else None
+            if rec is not None:
+                _, rec_bnds, rec_rows = rec
+                if rec_rows > 0 and tr <= 2 * rec_rows:
+                    bounds, served_bnds = rec_bounds, rec_bnds
+                    bnds_source = "recorded"
+            if ok and served_bnds is None:
+                # Span restriction is valid only when every result row's
+                # key is bounded by an affected file's zrange (verbatim
+                # target rows) or the source dominance span (verbatim
+                # source values). A column-subset UPDATE that touches
+                # SOME but not all cluster columns produces mixed rows
+                # bounded by neither — serve the full list then.
+                uc = set(update_columns or [])
+                mixed = bool(uc & set(cl_cols)) and not set(cl_cols) <= uc
+                span = (None if mixed else
+                        _merge_key_span(affected, sb, cl_cols, rec_bounds,
+                                        curve, point_curve_key))
+                mb = manifest_layout_boundaries(
+                    table, cl_cols, curve, cluster_target, span=span)
+                if mb is not None:
+                    bounds, served_bnds = rec_bounds, mb
+                    bnds_source = "manifest"
         if bounds is None and all(cur_bounds[c][0] is not None for c in cl_cols):
             bounds = cur_bounds
         if bounds is not None:
@@ -574,11 +695,12 @@ def _write_and_commit(table, spark, result, affected, prune_metrics, src_count,
         )
 
         if served_bnds is not None:
-            # Recorded layout path: the cluster job's boundaries ARE the
-            # table's file-range layout — rewriting affected files on
-            # them preserves alignment exactly, with zero extra jobs.
-            # Ranges outside the merge's key span come out empty (no
-            # file written). n_out follows the boundary count.
+            # Served layout path (recorded properties or manifest-
+            # derived): the boundaries ARE the table's file-range layout
+            # — rewriting affected files on them preserves alignment
+            # exactly, with zero extra jobs. Ranges outside the merge's
+            # key span come out empty (no file written). n_out follows
+            # the boundary count.
             bnds = served_bnds
             n_out = len(bnds) + 1
         else:
@@ -600,8 +722,13 @@ def _write_and_commit(table, spark, result, affected, prune_metrics, src_count,
             bnds = (curve_boundaries(
                         with_curve_key(keys_only, cl_cols, bounds, curve), n_out)
                     if keys_only is not None else [])
+        # zranges stamped only on the served paths (keys under the
+        # recorded cluster.bounds normalization); the computed fallback
+        # keys under fresh bounds, whose zranges would poison the
+        # manifest-derived layout
         added = write_range_partitioned(
-            table, spark, result, n_out, bnds, sort_within
+            table, spark, result, n_out, bnds, sort_within,
+            record_zrange=served_bnds is not None,
         )
     else:
         added = table._write_data_files(
@@ -631,8 +758,9 @@ def _write_and_commit(table, spark, result, affected, prune_metrics, src_count,
         "affected_files": len(affected),
         "files_total": prune_metrics["files_total"],
         "added_files": len(added),
-        "rekey_boundaries": ("recorded" if served_bnds is not None
+        "rekey_boundaries": (bnds_source if bnds_source is not None
                              else "computed" if sort_within is not None
                              else None),
+        "bucket_prune": prune_metrics.get("bucket_prune"),
         "seconds": time.monotonic() - t0,
     }

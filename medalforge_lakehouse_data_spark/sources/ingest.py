@@ -383,12 +383,20 @@ def stream_windowed_agg(
                             *[c for c in agged.columns if c != "w"])
     keys = ["w_start", *group_cols]
     counts = {"rows": 0, "batches": 0}
+    # Per-run token in the commit key (round-4 ADVICE #3): if the
+    # checkpoint dir is deleted/reset while the table persists, batch ids
+    # restart at 0 and a (checkpoint, batch_id)-only key would silently
+    # skip the merges as "resumed", leaving stale window rows. A fresh
+    # token per call disables cross-run dedup; within-run replay safety
+    # is unaffected (availableNow runs each batch once per call, and the
+    # window-keyed UPSERT is idempotent across calls anyway).
+    run_token = uuid.uuid4().hex[:12]
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         if not batch_df.head(1):
             return
         merge_into(table, batch_df, keys, batch_df.sparkSession,
-                   commit_key=f"streamagg-{checkpoint_dir}-{batch_id}",
+                   commit_key=f"streamagg-{checkpoint_dir}-{run_token}-{batch_id}",
                    check_unique_keys=False)
         counts["rows"] += batch_df.count()
         counts["batches"] += 1
