@@ -75,6 +75,84 @@ def bench_queries(spark, timings: dict) -> None:
         timings[name] = round(time.monotonic() - t0, 3)
 
 
+SILVER_BENCH_YAML = """
+version: "1.0"
+source:
+  bronze_table: "bronze.tpch.orders"
+target:
+  catalog: "silver"
+  schema: "tpch"
+  table: "orders_clean"
+  write:
+    mode: "merge"
+    merge_keys: ["o_orderkey"]
+dqx:
+  checks:
+    - name: amount_range
+      check: {function: is_in_range, arguments: {column: o_totalprice, min_limit: 1000.0, max_limit: 400000.0}}
+    - name: key_ok
+      check:
+        function: sql_expression
+        arguments: {expression: "o_orderkey % 1000 <> 0"}
+etl:
+  standard:
+    - method: trim_columns
+      args: {columns: ["o_orderpriority"]}
+    - method: deduplicate
+      args: {keys: ["o_orderkey"], order_by: ["o_totalprice desc"]}
+quarantine:
+  remediate:
+    - method: clamp_range
+      args: {column: o_totalprice, min: 1000.0, max: 400000.0}
+  sink:
+    table: "monitoring.quarantine.orders_bronze"
+"""
+
+
+def bench_silver(spark, timings: dict, extra: dict) -> None:
+    """The reference's flagship flow as ONE measured job (round-4
+    VERDICT #5): checks split → quarantine sink → remediate → re-check →
+    ETL steps → union → MERGE into the target table → rejected sink.
+    Row-count assertions against a DuckDB oracle of the same flow."""
+    from medalforge_lakehouse_data_spark.pipeline.silver import run_pipeline
+    from medalforge_lakehouse_data_spark.plans.catalog import Catalog
+    from medalforge_lakehouse_data_spark.plans.silver_contract import (
+        load_silver_contract,
+    )
+
+    src = spark.read.parquet(os.path.join(SF_DIR, "orders.parquet"))
+    contract = load_silver_contract(SILVER_BENCH_YAML)
+    with tempfile.TemporaryDirectory() as tmp:
+        catalog = Catalog(tmp)
+        t0 = time.monotonic()
+        res = run_pipeline(spark, contract, catalog, source_df=src)
+        timings["silver_pipeline"] = round(time.monotonic() - t0, 3)
+
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW orders AS SELECT * FROM "
+        f"read_parquet('{os.path.join(SF_DIR, 'orders.parquet')}')")
+    q, rem, rej, merged = con.execute("""
+        SELECT
+          count(*) FILTER (o_totalprice < 1000 OR o_totalprice > 400000
+                           OR o_orderkey % 1000 = 0),
+          count(*) FILTER ((o_totalprice < 1000 OR o_totalprice > 400000
+                            OR o_orderkey % 1000 = 0)
+                           AND o_orderkey % 1000 <> 0),
+          count(*) FILTER (o_orderkey % 1000 = 0),
+          count(*) FILTER (o_orderkey % 1000 <> 0)
+        FROM orders""").fetchone()
+    con.close()
+    got = (res.quarantined_rows, res.remediated_rows, res.rejected_rows,
+           res.merged_rows)
+    want = (q, rem, rej, merged)
+    assert got == want, f"silver pipeline counts {got} != oracle {want}"
+    extra["silver_rows"] = {"quarantined": q, "remediated": rem,
+                            "rejected": rej, "merged": merged}
+
+
 def bench_maintenance(spark, timings: dict, extra: dict) -> None:
     from pyspark.sql import functions as F
 
