@@ -336,6 +336,7 @@ def main():
     t_all = time.monotonic()
     if os.environ.get("BENCH_ONLY_MAINTENANCE") != "1":
         bench_queries(spark, timings)
+        bench_silver(spark, timings, extra)
         # drop caches left by dedup/minhash query plans so the maintenance
         # phase is measured on a quiet executor
         spark.catalog.clearCache()

@@ -1037,6 +1037,7 @@ class Table:
         spark: SparkSession,
         from_snapshot_id: int,
         to_snapshot_id: int | None = None,
+        delete_before_images: bool = False,
     ) -> DataFrame:
         """Changes-since-snapshot scan (CDC-lite; round-4 VERDICT #4 —
         Delta CDF / Iceberg incremental-read parity). Returns the
@@ -1049,7 +1050,13 @@ class Table:
                                equality-delete (merge-on-read) commits
                                only the delete-key columns are populated
                                (others NULL): one key row deletes EVERY
-                               earlier version of that key.
+                               earlier version of that key. Pass
+                               ``delete_before_images=True`` to emit the
+                               FULL deleted rows instead, read from the
+                               parent snapshot pruned by the delete
+                               file's own key min/max manifest stats
+                               (cost: the overlapping parent slice, not
+                               the table).
           _commit_snapshot_id  the committing snapshot, so a consumer
                                can replay in order (apply each commit's
                                deletes before its inserts).
@@ -1109,6 +1116,12 @@ class Table:
             for d in add_dels:
                 keys = d.delete_keys or []
                 kdf = spark.read.parquet(os.path.join(self.root, d.path))
+                if delete_before_images and keys and s.parent_id is not None:
+                    pieces.append(_tag(
+                        self._delete_before_images(spark, meta, s.parent_id,
+                                                   keys, d, kdf),
+                        "delete", s.snapshot_id))
+                    continue
                 pieces.append(_tag(
                     kdf.select(*[
                         F.col(c).cast(schema[c].dataType).alias(c) if c in keys
@@ -1144,6 +1157,42 @@ class Table:
         for p in pieces[1:]:
             out = out.unionByName(p)
         return out
+
+    # before-image semi-joins broadcast the delete-key set below this many
+    # recorded rows (same bound _read_aligned uses for applying deletes);
+    # larger delete files fall back to a shuffle semi-join
+    CHANGES_BROADCAST_KEY_LIMIT = 2_000_000
+
+    def _delete_before_images(self, spark: SparkSession, meta: TableMetadata,
+                              parent_id: int, keys: list[str],
+                              entry: DataFile, kdf: DataFrame) -> DataFrame:
+        """Full before-image rows for one equality-delete file: the rows
+        live in the PARENT snapshot that the delete removed (every
+        earlier version of each deleted key).
+
+        Pruning is metadata-only — the delete file's own manifest stats
+        (per-key-column min/max, recorded when the delete file was
+        written) become ``between`` filters for plan_files on the parent
+        snapshot, so only parent files whose key ranges overlap the
+        deleted keys are read. Exactness comes from the left-semi join
+        on the key columns, so the range filters are a pure optimization.
+        Presented in the CURRENT table schema (field-id aligned)."""
+        schema = meta.schema
+        filters: list[Filter] = []
+        for k in keys:
+            st = entry.stats.get(k)
+            if st is not None and st.min is not None and st.max is not None:
+                filters.append((k, "between", (st.min, st.max)))
+        kept, metrics = self.plan_files(parent_id, filters or None)
+        if not kept:
+            return spark.createDataFrame([], schema)
+        parent = self._read_aligned(spark, kept, schema, meta,
+                                    deletes=metrics.get("_deletes", []))
+        kdf = kdf.select(*[F.col(k).cast(schema[k].dataType).alias(k)
+                           for k in keys])
+        if entry.rows <= self.CHANGES_BROADCAST_KEY_LIMIT:
+            kdf = F.broadcast(kdf)
+        return parent.join(kdf, on=list(keys), how="left_semi")
 
     def read_entries(self, spark: SparkSession, entries: list[DataFile],
                      apply_deletes: bool = True) -> DataFrame:

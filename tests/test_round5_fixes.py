@@ -383,3 +383,36 @@ def test_set_properties_none_unsets(tmp_path):
     t.set_properties({"x": None, "y": "2"})
     props = t.metadata().properties
     assert "x" not in props and props["y"] == "2"
+
+
+# ------------------------------------------ 9. changes() before-images
+
+
+def test_changes_delete_before_images(spark, tmp_path):
+    t = Table.create(str(tmp_path / "t"), SIMPLE)
+    # separate appends -> separate files with tight disjoint k ranges,
+    # so the delete file's k min/max stats can prune at the manifest tier
+    for lo in range(0, 50, 10):
+        t.append(spark, spark.createDataFrame(
+            [(i, f"v{i}") for i in range(lo, lo + 10)], SIMPLE))
+    t.append(spark, spark.createDataFrame([(7, "v7b")], SIMPLE))  # 2nd version
+    pre = t.metadata().current_snapshot_id
+    merge_into(t, spark.createDataFrame([(7, "x"), (12, "x")], SIMPLE),
+               ["k"], spark, when_matched="delete", when_not_matched=None,
+               strategy="merge-on-read")
+    ch = t.changes(spark, from_snapshot_id=pre,
+                   delete_before_images=True).collect()
+    got = {(r.k, r.val, r["_change_type"]) for r in ch}
+    # one delete per LIVE parent row version, full columns populated
+    assert got == {(7, "v7", "delete"), (7, "v7b", "delete"),
+                   (12, "v12", "delete")}
+    # default path still emits key-only rows
+    base = {(r.k, r.val) for r in t.changes(spark, from_snapshot_id=pre)
+            .filter(F.col("_change_type") == "delete").collect()}
+    assert base == {(7, None), (12, None)}
+    # the stats-derived between-filter prunes the parent scan to the
+    # files whose k range overlaps [7, 12]
+    kept, _ = t.plan_files(pre, [("k", "between", (7, 12))])
+    assert 0 < len(kept) < len(t.files(pre))
+    assert all(e.stats["k"].min <= 12 and e.stats["k"].max >= 7
+               for e in kept if "k" in e.stats)
