@@ -34,6 +34,7 @@ from pyspark.sql.types import LongType
 
 from medalforge_lakehouse_data_spark.format.table import CommitConflictError, Table
 from medalforge_lakehouse_data_spark.functions.zorder import (
+    hilbert_box_range,
     hilbert_index,
     morton_interleave,
     normalize_to_bits,
@@ -87,6 +88,33 @@ def point_curve_key(values: Sequence, columns: Sequence[str], bounds: dict,
     if curve == "hilbert":
         return int(hilbert_index(norm, bits)[0])
     return int(morton_interleave(norm)[0])
+
+
+def box_curve_key_range(mins: Sequence, maxs: Sequence,
+                        columns: Sequence[str], bounds: dict,
+                        curve: str = "zorder") -> tuple[int, int]:
+    """Inclusive curve-key range covering EVERY point of the axis-aligned
+    value box [mins, maxs], driver-side. Morton interleave is monotone
+    under component-wise dominance, so the two corner keys bound the
+    box. Hilbert is not — ``hilbert_box_range`` walks the curve's dyadic
+    cell tree for the exact in-box min/max key instead (this is what
+    lets hilbert-layout merges restrict their served boundary list the
+    same way zorder ones do)."""
+    bits = curve_bits(len(columns))
+
+    def _norm(vals):
+        return [
+            int(normalize_to_bits(
+                np.asarray([0.0 if v is None else float(v)]), lo, hi, bits)[0])
+            for v, (lo, hi) in zip(vals, (bounds[c] for c in columns))
+        ]
+
+    nmins, nmaxs = _norm(mins), _norm(maxs)
+    if curve == "hilbert":
+        return hilbert_box_range(nmins, nmaxs, bits)
+    lo = morton_interleave([np.asarray([v], dtype=np.uint64) for v in nmins])
+    hi = morton_interleave([np.asarray([v], dtype=np.uint64) for v in nmaxs])
+    return int(lo[0]), int(hi[0])
 
 
 def curve_key_udf(columns: Sequence[str], bounds: dict, curve: str = "zorder"):

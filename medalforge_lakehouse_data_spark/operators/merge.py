@@ -512,16 +512,13 @@ def _conditional_merge_rows(
 
 
 def _merge_key_span(affected, sb, cl_cols, rec_bounds, curve,
-                    point_curve_key) -> tuple[int, int] | None:
+                    box_curve_key_range) -> tuple[int, int] | None:
     """Inclusive curve-key span every merge-result row falls in, or None
     when it cannot be bounded. Kept target rows are bounded by their
-    affected files' recorded zranges; verbatim source rows, for the
-    Morton curve, by [key(col mins), key(col maxes)] (interleave is
-    monotone under component-wise dominance — disjoint-bit sum of
-    per-coordinate monotone spreads). Hilbert is NOT dominance-monotone,
-    so no source bound exists there."""
-    if curve != "zorder":
-        return None
+    affected files' recorded zranges; verbatim source rows by the curve
+    key range of the source's value box — Morton via corner keys
+    (interleave is monotone under component-wise dominance), Hilbert via
+    the exact dyadic-cell box cover (hilbert_box_range)."""
     lo = hi = None
     for e in affected:
         if e.zrange is None:
@@ -531,12 +528,11 @@ def _merge_key_span(affected, sb, cl_cols, rec_bounds, curve,
     if sb is None:
         return None  # no source bounds collected — source rows unbounded
     if any(sb[f"nn_{c}"] for c in cl_cols):
-        return None  # nulls key at coordinate 0, outside the dominance box
+        return None  # nulls key at coordinate 0, outside the value box
     if all(sb[f"mn_{c}"] is not None for c in cl_cols):
-        slo = point_curve_key([sb[f"mn_{c}"] for c in cl_cols], cl_cols,
-                              rec_bounds, curve)
-        shi = point_curve_key([sb[f"mx_{c}"] for c in cl_cols], cl_cols,
-                              rec_bounds, curve)
+        slo, shi = box_curve_key_range(
+            [sb[f"mn_{c}"] for c in cl_cols],
+            [sb[f"mx_{c}"] for c in cl_cols], cl_cols, rec_bounds, curve)
         lo = slo if lo is None else min(lo, slo)
         hi = shi if hi is None else max(hi, shi)
     if lo is None or hi is None:
@@ -587,9 +583,9 @@ def _write_and_commit(table, spark, result, affected, prune_metrics, src_count,
     bnds_source = None
     if cl_cols and all(c in cols for c in cl_cols) and est_result_bytes >= rekey_min:
         from medalforge_lakehouse_data_spark.maintenance.clustering import (
+            box_curve_key_range,
             column_bounds,
             manifest_layout_boundaries,
-            point_curve_key,
             recorded_bounds,
             recorded_layout,
             with_curve_key,
@@ -666,7 +662,7 @@ def _write_and_commit(table, spark, result, affected, prune_metrics, src_count,
                 mixed = bool(uc & set(cl_cols)) and not set(cl_cols) <= uc
                 span = (None if mixed else
                         _merge_key_span(affected, sb, cl_cols, rec_bounds,
-                                        curve, point_curve_key))
+                                        curve, box_curve_key_range))
                 mb = manifest_layout_boundaries(
                     table, cl_cols, curve, cluster_target, span=span)
                 if mb is not None:

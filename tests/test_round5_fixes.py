@@ -416,3 +416,60 @@ def test_changes_delete_before_images(spark, tmp_path):
     assert 0 < len(kept) < len(t.files(pre))
     assert all(e.stats["k"].min <= 12 and e.stats["k"].max >= 7
                for e in kept if "k" in e.stats)
+
+
+# ------------------------------------------ 10. hilbert merge key span
+
+
+def test_merge_key_span_bounds_hilbert():
+    """Hilbert layouts now get the span restriction too (round-4 TODO):
+    the source value box is covered exactly by hilbert_box_range, and
+    every in-box point key falls inside the returned span."""
+    from types import SimpleNamespace
+
+    from medalforge_lakehouse_data_spark.maintenance.clustering import (
+        box_curve_key_range,
+        point_curve_key,
+    )
+    from medalforge_lakehouse_data_spark.operators.merge import _merge_key_span
+
+    cl_cols = ["a", "b"]
+    rec_bounds = {"a": (0, 1000), "b": (0, 500)}
+    affected = [SimpleNamespace(zrange=[100, 200])]
+    sb = {"mn_a": 10, "mx_a": 60, "mn_b": 5, "mx_b": 40,
+          "nn_a": 0, "nn_b": 0}
+    span = _merge_key_span(affected, sb, cl_cols, rec_bounds, "hilbert",
+                           box_curve_key_range)
+    assert span is not None
+    lo, hi = span
+    assert lo <= 100 and hi >= 200  # affected zrange folded in
+    for a in range(10, 61, 10):
+        for b in range(5, 41, 7):
+            k = point_curve_key([a, b], cl_cols, rec_bounds, "hilbert")
+            assert lo <= k <= hi, (a, b, k, span)
+    # untagged affected file still disables the span
+    assert _merge_key_span([SimpleNamespace(zrange=None)], sb, cl_cols,
+                           rec_bounds, "hilbert", box_curve_key_range) is None
+
+
+def test_hilbert_manifest_merge_correct(spark, tmp_path):
+    df = spark.range(10_000).select(
+        F.col("id").alias("k"),
+        (F.col("id") * 37 % 1000).cast("long").alias("a"),
+        (F.col("id") * 13 % 500).cast("long").alias("b"),
+        F.concat(F.lit("v"), F.col("id")).alias("s"))
+    t = Table.create(str(tmp_path / "t"),
+                     df.schema,
+                     properties={"merge.cluster-rekey-min-bytes": "1"})
+    t.append(spark, df, target_file_count=8)
+    clustering.cluster_rewrite(t, spark, columns=("a", "b"),
+                               curve="hilbert", target_file_bytes=64 * 1024,
+                               mode="full")
+    t.set_properties({"cluster.boundaries": None})  # force manifest path
+    m = merge_into(t, _upd(spark, 0, 10_000, 25, "u1"), ["k"], spark)
+    assert m["rekey_boundaries"] == "manifest"
+    assert t.scan(spark).count() == 10_000
+    assert t.scan(spark, filters=[("s", "=", "u1")]).count() == 400
+    rows = {r.k: r.s for r in t.scan(
+        spark, filters=[("k", "between", (0, 100))]).collect()}
+    assert rows[25] == "u1" and rows[26] == "v26"
