@@ -217,6 +217,16 @@ def bounds_within(inner: dict, outer: dict, columns: Sequence[str],
     return True
 
 
+# Full boundary lists memoized per (table root, snapshot, layout config):
+# the manifest walk behind them is the same cost class as plan_files, so
+# a merge-heavy workload hitting the manifest path repeatedly between
+# commits shouldn't redo it. Snapshot id keys the cache — any commit
+# changes it, so entries can never serve a stale layout. Span filtering
+# happens per call on the cached full list (cheap).
+_LAYOUT_BNDS_CACHE: dict[tuple, list[int] | None] = {}
+_LAYOUT_BNDS_CACHE_MAX = 64
+
+
 def manifest_layout_boundaries(
     table: Table,
     columns: Sequence[str],
@@ -241,6 +251,27 @@ def manifest_layout_boundaries(
     ``span=(lo, hi)``: optionally restrict the returned list to the
     merge's own key span so a sliver rewrite doesn't schedule one
     shuffle partition per table range."""
+    snap = table.metadata().current_snapshot()
+    ck = (table.root, snap.snapshot_id if snap else None, curve,
+          tuple(columns), int(target_file_bytes), float(min_coverage))
+    if ck in _LAYOUT_BNDS_CACHE:
+        bnds = _LAYOUT_BNDS_CACHE[ck]
+    else:
+        bnds = _layout_boundaries_uncached(table, columns, curve,
+                                           target_file_bytes, min_coverage)
+        if len(_LAYOUT_BNDS_CACHE) >= _LAYOUT_BNDS_CACHE_MAX:
+            _LAYOUT_BNDS_CACHE.pop(next(iter(_LAYOUT_BNDS_CACHE)))
+        _LAYOUT_BNDS_CACHE[ck] = bnds
+    if bnds is None:
+        return None
+    if span is not None:
+        slo, shi = span
+        return [b for b in bnds if slo <= b <= shi]
+    return list(bnds)
+
+
+def _layout_boundaries_uncached(table, columns, curve, target_file_bytes,
+                                min_coverage) -> list[int] | None:
     tag = {"curve": curve, "columns": list(columns)}
     data = table.files(content="data")
     total_rows = sum(e.rows for e in data)
@@ -266,11 +297,7 @@ def manifest_layout_boundaries(
             bnds.append(int(lo + frac * (hi - lo)))
             ti += 1
         cum += rows
-    bnds = sorted(set(bnds))
-    if span is not None:
-        slo, shi = span
-        bnds = [b for b in bnds if slo <= b <= shi]
-    return bnds
+    return sorted(set(bnds))
 
 
 def curve_boundaries(

@@ -473,3 +473,37 @@ def test_hilbert_manifest_merge_correct(spark, tmp_path):
     rows = {r.k: r.s for r in t.scan(
         spark, filters=[("k", "between", (0, 100))]).collect()}
     assert rows[25] == "u1" and rows[26] == "v26"
+
+
+# ------------------------------------------ 11. layout-boundary cache
+
+
+def test_manifest_boundaries_cached_per_snapshot(spark, tmp_path,
+                                                 monkeypatch):
+    t = _clustered_table(spark, str(tmp_path / "t"), n=10_000)
+    calls = {"n": 0}
+    real_files = Table.files
+
+    def counting_files(self, *a, **kw):
+        calls["n"] += 1
+        return real_files(self, *a, **kw)
+
+    monkeypatch.setattr(Table, "files", counting_files)
+    b1 = clustering.manifest_layout_boundaries(t, ("a", "b"), "zorder",
+                                               64 * 1024)
+    walked = calls["n"]
+    assert b1 is not None and walked > 0
+    # same snapshot, any span → served from cache, no manifest walk
+    b2 = clustering.manifest_layout_boundaries(t, ("a", "b"), "zorder",
+                                               64 * 1024,
+                                               span=(b1[0], b1[-1]))
+    assert calls["n"] == walked
+    assert b2 == [b for b in b1 if b1[0] <= b <= b1[-1]]
+    # cached copy is isolated from caller mutation
+    b1.append(-1)
+    assert clustering.manifest_layout_boundaries(
+        t, ("a", "b"), "zorder", 64 * 1024)[-1] != -1
+    # a commit (new snapshot) invalidates the key → fresh walk
+    t.append(spark, _upd(spark, 100_000, 100_010, 1, "x"))
+    clustering.manifest_layout_boundaries(t, ("a", "b"), "zorder", 64 * 1024)
+    assert calls["n"] > walked
