@@ -237,6 +237,73 @@ def decode_external(data: bytes, fmt: str) -> np.ndarray:
     return get_codec(fmt).decode(data)
 
 
+def reencode_any_udf(target_fmt: str):
+    """Registry-dispatching transcode over (binary, fmt) columns: decode
+    via the SOURCE row's registered codec, encode via the TARGET
+    format's registered ``CodecSpec.encode``. This is the write-side
+    counterpart of ``decode_external`` — external container formats work
+    in both directions as soon as their codec is registered, no code
+    edits (``reencode_udf`` above stays the internal-codec fast path).
+
+    The target codec resolves at factory time, so a missing format or
+    missing encode path fails fast on the driver; per-row decode
+    failures and unregistered SOURCE formats yield NULL for that row
+    (quarantine-able downstream), never a batch-killing raise."""
+    tgt = get_codec(target_fmt)
+    if tgt.encode is None:
+        raise NotImplementedError(
+            f"codec {target_fmt!r} has no encode path registered")
+    reg = dict(_CODEC_REGISTRY)
+    tgt_encode = tgt.encode
+
+    @pandas_udf(BinaryType())
+    def _reencode(data: pd.Series, fmt: pd.Series) -> pd.Series:
+        out = []
+        for b, f in zip(data, fmt):
+            spec = reg.get(f)
+            if b is None or spec is None:
+                out.append(None)
+                continue
+            try:
+                out.append(tgt_encode(spec.decode(bytes(b))))
+            except Exception:
+                out.append(None)
+        return pd.Series(out)
+
+    return _reencode
+
+
+def resize_any_udf(out_w: int, out_h: int, target_fmt: str = "raw"):
+    """Registry-dispatching nearest-neighbor resize over (binary, fmt)
+    columns, re-encoded via ``target_fmt``'s registered codec. Same
+    row-level NULL contract as ``reencode_any_udf``."""
+    tgt = get_codec(target_fmt)
+    if tgt.encode is None:
+        raise NotImplementedError(
+            f"codec {target_fmt!r} has no encode path registered")
+    reg = dict(_CODEC_REGISTRY)
+    tgt_encode = tgt.encode
+
+    @pandas_udf(BinaryType())
+    def _resize(data: pd.Series, fmt: pd.Series) -> pd.Series:
+        out = []
+        for b, f in zip(data, fmt):
+            spec = reg.get(f)
+            if b is None or spec is None:
+                out.append(None)
+                continue
+            try:
+                px = spec.decode(bytes(b))
+                ri = (np.arange(out_h) * px.shape[0] // out_h).clip(0, px.shape[0] - 1)
+                ci = (np.arange(out_w) * px.shape[1] // out_w).clip(0, px.shape[1] - 1)
+                out.append(tgt_encode(px[ri][:, ci]))
+            except Exception:
+                out.append(None)
+        return pd.Series(out)
+
+    return _resize
+
+
 def frame_sample_udf(n_frames: int = 4):
     """Video frame sampling over (binary, fmt) columns — the Spark-side
     plumbing (schema: array<binary>, Arrow batching, even-stride sample)

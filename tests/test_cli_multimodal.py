@@ -92,3 +92,49 @@ def test_reencode_roundtrip_psnr(spark):
 def test_decode_external_stub():
     with pytest.raises(NotImplementedError):
         mm.decode_external(b"\xff\xd8\xff", "jpeg")
+
+
+def test_external_format_encode_path_end_to_end(spark):
+    """Round-4 TODO: the registry's ENCODE side exercised end-to-end
+    against a real external wire format (P6 PPM, numpy-only) — internal
+    payloads transcode OUT to it, it decodes back bit-exact, resize
+    consumes it, and unregistered formats stay row-level NULLs."""
+    import numpy as np
+
+    from medalforge_lakehouse_data_spark.functions.codec import decode
+    from medalforge_lakehouse_data_spark.testing.fakes import (
+        ppm_decode,
+        ppm_encode,
+    )
+
+    mm.register_codec(mm.CodecSpec("ppm", decode=ppm_decode,
+                                   encode=ppm_encode))
+    try:
+        df = images_df(spark, 30, seed=5)
+        out = df.withColumn(
+            "ppm", mm.reencode_any_udf("ppm")(F.col("bytes"), F.col("fmt")))
+        rows = out.select("bytes", "ppm").collect()
+        assert all(r.ppm is not None and bytes(r.ppm).startswith(b"P6")
+                   for r in rows)
+        # decode back through the registry: pixels bit-exact vs internal
+        for r in rows[:5]:
+            src = decode(bytes(r.bytes))
+            got = mm.decode_external(bytes(r.ppm), "ppm")
+            if src.ndim == 2:
+                src = np.stack([src] * 3, axis=2)
+            assert np.array_equal(got, src[:, :, :3])
+
+        # external PPM feeds fmt-aware resize; unregistered fmt -> NULL row
+        mixed = spark.createDataFrame(
+            [(1, bytearray(rows[0].ppm), "ppm"),
+             (2, bytearray(rows[0].ppm), "webp")],
+            "id int, data binary, fmt string")
+        small = {r.id: r.s for r in mixed.withColumn(
+            "s", mm.resize_any_udf(8, 8, "ppm")("data", "fmt"))
+            .select("id", "s").collect()}
+        assert ppm_decode(bytes(small[1])).shape == (8, 8, 3)
+        assert small[2] is None
+    finally:
+        mm.unregister_codec("ppm")
+    with pytest.raises(NotImplementedError, match="no codec registered"):
+        mm.reencode_any_udf("ppm")
