@@ -503,6 +503,82 @@ def q_incremental_scan(spark, sf):
     return out
 
 
+def q_rollback_scan(spark, sf):
+    """ROLLBACK TO SNAPSHOT (round-5; Iceberg rollback_to_snapshot /
+    Delta RESTORE parity): snapshot 1 = even orderkeys, snapshot 2
+    appends the odd ones, snapshot 3 CoW-merge-deletes %3==0; rollback
+    to snapshot 2 un-does the delete (metadata-only), then snapshot 4
+    branches from it with %1000==7 rows at price+100. Final scan =
+    every order plus the branch rows — the deleted keys restored."""
+    from medalforge_lakehouse_data_spark.format.table import Table
+    from medalforge_lakehouse_data_spark.operators.merge import merge_into
+
+    o = _t(spark, sf, "orders")
+    price = F.round(F.col("o_totalprice").cast("double"), 2).alias("price")
+    base = o.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_custkey", price)
+    app = o.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey", "o_custkey", price)
+    dels = o.filter(F.col("o_orderkey") % 3 == 0).select(
+        "o_orderkey", "o_custkey", price)
+    branch = o.filter(F.col("o_orderkey") % 1000 == 7).select(
+        "o_orderkey", "o_custkey",
+        (F.round(F.col("o_totalprice").cast("double"), 2) + 100)
+        .alias("price"))
+    with tempfile.TemporaryDirectory() as tmp:
+        t = Table.create(os.path.join(tmp, "t"), base.schema)
+        t.append(spark, base, target_file_count=8)          # snapshot 1
+        t.append(spark, app, target_file_count=4)           # snapshot 2
+        merge_into(t, dels, ["o_orderkey"], spark,          # snapshot 3
+                   when_matched="delete", when_not_matched=None)
+        t.rollback_to(2)
+        t.append(spark, branch, target_file_count=1)        # snapshot 4
+        assert t.ancestry() == [1, 2, 4]
+        out = t.scan(spark).select("o_orderkey", "o_custkey", "price")
+        out = spark.createDataFrame(out.collect(), out.schema)
+    return out
+
+
+def q_incremental_before_images(spark, sf):
+    """changes(delete_before_images=True): the MoR delete commit's FULL
+    deleted rows, read from the parent snapshot pruned by the delete
+    file's own key min/max manifest stats + broadcast-bounded left-semi
+    join (round-5; Delta CDF before-image parity). Same deterministic
+    history as q_incremental_scan; the change window covers only the
+    snapshot-4 delete, so the result is the live-at-snapshot-3 version
+    of every deleted key."""
+    from medalforge_lakehouse_data_spark.format.table import Table
+    from medalforge_lakehouse_data_spark.operators.merge import merge_into
+
+    o = _t(spark, sf, "orders")
+    price = F.round(F.col("o_totalprice").cast("double"), 2).alias("price")
+    base = o.filter(F.col("o_orderkey") % 3 != 0).select(
+        "o_orderkey", "o_custkey", price)
+    app = o.filter((F.col("o_orderkey") % 3 == 0)
+                   & (F.col("o_orderkey") % 4 == 0)).select(
+        "o_orderkey", "o_custkey", price)
+    ups = o.filter(F.col("o_orderkey") % 5 == 0).select(
+        "o_orderkey", "o_custkey",
+        (F.round(F.col("o_totalprice").cast("double"), 2) + 1).alias("price"))
+    dels = o.filter(F.col("o_orderkey") % 7 == 0).select(
+        "o_orderkey", "o_custkey", price)
+    with tempfile.TemporaryDirectory() as tmp:
+        t = Table.create(os.path.join(tmp, "t"), base.schema)
+        t.append(spark, base, target_file_count=8)          # snapshot 1
+        t.append(spark, app, target_file_count=2)           # snapshot 2
+        merge_into(t, ups, ["o_orderkey"], spark,           # snapshot 3
+                   strategy="merge-on-read")
+        merge_into(t, dels, ["o_orderkey"], spark,          # snapshot 4
+                   when_matched="delete", when_not_matched=None,
+                   strategy="merge-on-read")
+        out = t.changes(spark, from_snapshot_id=3,
+                        delete_before_images=True)
+        out = out.select("o_orderkey", "o_custkey", "price",
+                         "_change_type", "_commit_snapshot_id")
+        out = spark.createDataFrame(out.collect(), out.schema)
+    return out
+
+
 # ---------------------------------------------------------------------------
 # Training-data ops over documents/embeddings
 
@@ -758,6 +834,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "merge_mor_delete": q_merge_mor_delete,
         "merge_mor_conditional": q_merge_mor_conditional,
         "incremental_scan": q_incremental_scan,
+        "incremental_before_images": q_incremental_before_images,
+        "rollback_scan": q_rollback_scan,
         "docs_token_stats": q_docs_token_stats,
         "docs_lang_id": q_docs_lang_id,
         "docs_exact_dedup": q_docs_exact_dedup,
@@ -1034,6 +1112,28 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_orderkey, cast(NULL as bigint), cast(NULL as double),
                    'delete', cast(4 as bigint)
             FROM orders WHERE o_orderkey % 7 = 0
+        """,
+        "incremental_before_images": """
+            SELECT o_orderkey, o_custkey,
+                   CASE WHEN o_orderkey % 5 = 0
+                        THEN round(cast(o_totalprice as double), 2) + 1
+                        ELSE round(cast(o_totalprice as double), 2)
+                   END AS price,
+                   'delete' AS _change_type,
+                   cast(4 as bigint) AS _commit_snapshot_id
+            FROM orders
+            WHERE o_orderkey % 7 = 0
+              AND (o_orderkey % 3 != 0 OR o_orderkey % 4 = 0
+                   OR o_orderkey % 5 = 0)
+        """,
+        "rollback_scan": """
+            SELECT o_orderkey, o_custkey,
+                   round(cast(o_totalprice as double), 2) AS price
+            FROM orders
+            UNION ALL
+            SELECT o_orderkey, o_custkey,
+                   round(cast(o_totalprice as double), 2) + 100 AS price
+            FROM orders WHERE o_orderkey % 1000 = 7
         """,
         "docs_token_stats": r"""
             WITH t AS (

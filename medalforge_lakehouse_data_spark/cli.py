@@ -105,6 +105,12 @@ def cmd_maintenance(args) -> int:
         )
     elif args.job == "rewrite-manifests":
         out = manifests.rewrite_manifests(t, job_id=args.job_id)
+    elif args.job == "rollback":
+        if args.snapshot_id is None:
+            raise SystemExit("rollback requires --snapshot_id")
+        t.rollback_to(args.snapshot_id)
+        out = {"current_snapshot_id": t.current_snapshot_id(),
+               "ancestry": t.ancestry()}
     else:
         raise SystemExit(f"unknown job {args.job}")
     print(json.dumps(out))
@@ -132,7 +138,8 @@ def build_parser() -> argparse.ArgumentParser:
     s.set_defaults(fn=cmd_silver)
 
     m = sub.add_parser("maintenance", help="table maintenance jobs")
-    m.add_argument("job", choices=["compact", "cluster", "expire", "rewrite-manifests"])
+    m.add_argument("job", choices=["compact", "cluster", "expire",
+                                   "rewrite-manifests", "rollback"])
     m.add_argument("--table_path", required=True)
     m.add_argument("--target_file_bytes", type=int, default=128 * 1024 * 1024)
     m.add_argument("--columns", default="phash,w,h", help="cluster columns (csv)")
@@ -143,6 +150,8 @@ def build_parser() -> argparse.ArgumentParser:
     m.add_argument("--grace_s", type=float, default=3600.0,
                    help="orphan files younger than this are spared (in-flight writers)")
     m.add_argument("--job_id", default=None)
+    m.add_argument("--snapshot_id", type=int, default=None,
+                   help="rollback target (an ancestor of current)")
     m.add_argument("--checkpoint_root", default=None)
     m.set_defaults(fn=cmd_maintenance)
     return p

@@ -331,6 +331,47 @@ class Table:
             for s in self.metadata().snapshots
         ]
 
+    def rollback_to(self, snapshot_id: int) -> None:
+        """ROLLBACK TO SNAPSHOT parity (Iceberg ``rollback_to_snapshot``,
+        Delta RESTORE): move the current-snapshot pointer back to an
+        ANCESTOR of the current snapshot. Metadata-only — no data files
+        move; the abandoned newer snapshots stay readable by pinned scans
+        until ``expire_snapshots`` retires them, at which point the
+        reachability GC reclaims their files (they are no longer on the
+        current ancestry). Subsequent commits branch from the restored
+        snapshot (fresh ids, ``parent_id`` = the restored snapshot), and
+        incremental reads (``changes``) follow the ancestry chain, never
+        the abandoned branch."""
+
+        def mutate(meta):
+            meta.snapshot_by_id(snapshot_id)  # raises if absent
+            if meta.current_snapshot_id == snapshot_id:
+                return False, None
+            cur = meta.current_snapshot_id
+            while cur is not None and cur != snapshot_id:
+                cur = meta.snapshot_by_id(cur).parent_id
+            if cur != snapshot_id:
+                raise ValueError(
+                    f"snapshot {snapshot_id} is not an ancestor of the current "
+                    f"snapshot {meta.current_snapshot_id}; rollback only "
+                    f"travels the current history line")
+            meta.current_snapshot_id = snapshot_id
+            return True, None
+
+        self._commit_metadata(mutate)
+
+    def ancestry(self, snapshot_id: int | None = None) -> list[int]:
+        """Snapshot ids on the history line ending at ``snapshot_id``
+        (default: current), oldest first. After a rollback this is the
+        restored line — abandoned-branch snapshots are excluded."""
+        meta = self.metadata()
+        cur = meta.current_snapshot_id if snapshot_id is None else snapshot_id
+        chain: list[int] = []
+        while cur is not None:
+            chain.append(cur)
+            cur = meta.snapshot_by_id(cur).parent_id
+        return chain[::-1]
+
     def set_properties(self, props: dict[str, str | None]) -> None:
         """ALTER TABLE SET TBLPROPERTIES parity (idempotent upsert).
         A ``None`` value UNSETS the key (ALTER TABLE UNSET TBLPROPERTIES)
@@ -478,6 +519,39 @@ class Table:
                     fields[i] = StructField(name, dt, f.nullable, f.metadata)
                     return fields
             raise KeyError(f"no column {name!r}")
+
+        self._evolve_schema(mutate)
+
+    def drop_column(self, name: str) -> None:
+        """ALTER TABLE DROP COLUMN: the field leaves the current schema;
+        files that carry it simply stop projecting it at scan time (the
+        id-based alignment in ``_read_aligned`` selects only current
+        fields). The field id is never reused (``last_field_id`` is
+        monotonic), so re-adding the same NAME later makes a NEW column:
+        old files' stored values stay invisible (NULL backfill), matching
+        Iceberg's drop/re-add semantics. Refuses to drop a column the
+        partition spec or the recorded cluster layout still references —
+        evolve the spec / re-cluster first."""
+
+        def mutate(fields, meta):
+            if name not in [f.name for f in fields]:
+                raise KeyError(f"no column {name!r}")
+            for p in meta.partition_spec:
+                _, src, _, _ = parse_partition_field(p)
+                if src == name:
+                    raise ValueError(
+                        f"column {name!r} is referenced by partition field "
+                        f"{p!r}; update_partition_spec first")
+            ccols = [c.strip() for c in
+                     meta.properties.get("cluster.columns", "").split(",")
+                     if c.strip()]
+            if name in ccols:
+                raise ValueError(
+                    f"column {name!r} is a recorded cluster column "
+                    f"({meta.properties.get('cluster.columns')!r}); "
+                    f"re-cluster on other columns (or unset the cluster.* "
+                    f"properties) first")
+            return [f for f in fields if f.name != name]
 
         self._evolve_schema(mutate)
 
@@ -1098,9 +1172,21 @@ class Table:
                 prev_paths[sid] = {e.path for e in self.files(sid)}
             return prev_paths[sid]
 
-        for s in meta.snapshots:
-            if not (from_snapshot_id < s.snapshot_id <= (to_id or 0)):
-                continue
+        # Walk the ancestry chain of to_id back to from_snapshot_id —
+        # after a rollback_to, snapshot ids are NOT contiguous along the
+        # history line, and an id-range scan would replay the abandoned
+        # branch. from_snapshot_id=0 walks to the table's first commit.
+        chain: list[Snapshot] = []
+        cur = to_id
+        while cur is not None and cur != from_snapshot_id:
+            s = meta.snapshot_by_id(cur)
+            chain.append(s)
+            cur = s.parent_id
+        if from_snapshot_id and cur != from_snapshot_id:
+            raise ValueError(
+                f"snapshot {from_snapshot_id} is not an ancestor of "
+                f"{to_id}; incremental reads follow one history line")
+        for s in reversed(chain):
             if s.operation in self._LAYOUT_OPS:
                 continue
             parent_paths = _paths(s.parent_id)
