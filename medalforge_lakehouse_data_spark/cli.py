@@ -111,6 +111,16 @@ def cmd_maintenance(args) -> int:
         t.rollback_to(args.snapshot_id)
         out = {"current_snapshot_id": t.current_snapshot_id(),
                "ancestry": t.ancestry()}
+    elif args.job == "tag":
+        if not args.name:
+            raise SystemExit("tag requires --name")
+        sid = t.create_tag(args.name, args.snapshot_id, replace=args.replace)
+        out = {"tag": args.name, "snapshot_id": sid, "tags": t.tags()}
+    elif args.job == "untag":
+        if not args.name:
+            raise SystemExit("untag requires --name")
+        t.remove_tag(args.name)
+        out = {"removed": args.name, "tags": t.tags()}
     else:
         raise SystemExit(f"unknown job {args.job}")
     print(json.dumps(out))
@@ -139,7 +149,8 @@ def build_parser() -> argparse.ArgumentParser:
 
     m = sub.add_parser("maintenance", help="table maintenance jobs")
     m.add_argument("job", choices=["compact", "cluster", "expire",
-                                   "rewrite-manifests", "rollback"])
+                                   "rewrite-manifests", "rollback",
+                                   "tag", "untag"])
     m.add_argument("--table_path", required=True)
     m.add_argument("--target_file_bytes", type=int, default=128 * 1024 * 1024)
     m.add_argument("--columns", default="phash,w,h", help="cluster columns (csv)")
@@ -151,7 +162,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="orphan files younger than this are spared (in-flight writers)")
     m.add_argument("--job_id", default=None)
     m.add_argument("--snapshot_id", type=int, default=None,
-                   help="rollback target (an ancestor of current)")
+                   help="rollback target (an ancestor of current) / tag target")
+    m.add_argument("--name", default=None, help="tag name")
+    m.add_argument("--replace", action="store_true",
+                   help="move an existing tag instead of refusing")
     m.add_argument("--checkpoint_root", default=None)
     m.set_defaults(fn=cmd_maintenance)
     return p

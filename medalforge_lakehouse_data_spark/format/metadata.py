@@ -218,6 +218,9 @@ class TableMetadata:
     # renames/widenings map by id across versions (Iceberg-style).
     schema_history: list[dict] = field(default_factory=list)
     last_field_id: int = 0
+    # named refs: tag name -> snapshot id (Iceberg tags). A tagged
+    # snapshot is never expired while the tag exists.
+    refs: dict[str, int] = field(default_factory=dict)
 
     @property
     def schema(self) -> StructType:
@@ -262,6 +265,7 @@ class TableMetadata:
             "snapshots": [s.to_json() for s in self.snapshots],
             "schema_history": self.schema_history,
             "last_field_id": self.last_field_id,
+            "refs": self.refs,
         }
 
     @staticmethod
@@ -278,6 +282,7 @@ class TableMetadata:
             last_sequence=d.get("last_sequence", 0),
             schema_history=list(d.get("schema_history", [d["schema"]])),
             last_field_id=d.get("last_field_id", 0),
+            refs={k: int(v) for k, v in d.get("refs", {}).items()},
         )
 
 

@@ -372,6 +372,71 @@ class Table:
             cur = meta.snapshot_by_id(cur).parent_id
         return chain[::-1]
 
+    def set_current_snapshot(self, snapshot_id: int) -> None:
+        """Escape-hatch pointer move to ANY retained snapshot (Iceberg
+        ``set_current_snapshot``) — unlike ``rollback_to`` the target may
+        be off the current ancestry line, e.g. a tagged snapshot on a
+        branch abandoned by an earlier rollback. Metadata-only."""
+
+        def mutate(meta):
+            meta.snapshot_by_id(snapshot_id)  # raises if absent
+            if meta.current_snapshot_id == snapshot_id:
+                return False, None
+            meta.current_snapshot_id = snapshot_id
+            return True, None
+
+        self._commit_metadata(mutate)
+
+    # -- named refs (Iceberg tags) -------------------------------------------
+
+    def create_tag(self, name: str, snapshot_id: int | None = None,
+                   replace: bool = False) -> int:
+        """Tag a snapshot (default: current) with a stable name. A tagged
+        snapshot is excluded from ``expire_snapshots`` retention math for
+        as long as the tag exists, so its files survive the reachability
+        GC — the audit/WAP primitive (pin "the snapshot we trained on").
+        Returns the tagged snapshot id."""
+        out: dict = {}
+
+        def mutate(meta):
+            sid = (meta.current_snapshot_id if snapshot_id is None
+                   else snapshot_id)
+            if sid is None:
+                raise ValueError("cannot tag an empty table")
+            meta.snapshot_by_id(sid)  # raises if absent
+            if name in meta.refs and not replace:
+                raise ValueError(
+                    f"tag {name!r} already exists (snapshot "
+                    f"{meta.refs[name]}); pass replace=True to move it")
+            out["sid"] = sid
+            if meta.refs.get(name) == sid:
+                return False, None
+            meta.refs[name] = sid
+            return True, None
+
+        self._commit_metadata(mutate)
+        return out["sid"]
+
+    def remove_tag(self, name: str) -> None:
+        def mutate(meta):
+            if name not in meta.refs:
+                raise KeyError(f"no tag {name!r}")
+            del meta.refs[name]
+            return True, None
+
+        self._commit_metadata(mutate)
+
+    def tags(self) -> dict[str, int]:
+        return dict(self.metadata().refs)
+
+    def ref(self, name: str) -> int:
+        """Resolve a tag to its snapshot id — pass to scan/plan_files/
+        changes for VERSION AS OF reads by name."""
+        refs = self.metadata().refs
+        if name not in refs:
+            raise KeyError(f"no tag {name!r}")
+        return refs[name]
+
     def set_properties(self, props: dict[str, str | None]) -> None:
         """ALTER TABLE SET TBLPROPERTIES parity (idempotent upsert).
         A ``None`` value UNSETS the key (ALTER TABLE UNSET TBLPROPERTIES)

@@ -3,7 +3,8 @@
 Mirrors Iceberg's expire_snapshots/remove_orphan_files; the reference
 relies on Delta VACUUM (not available OSS). Algorithm:
 
-  1. Retain: the current snapshot always, plus snapshots newer than
+  1. Retain: the current snapshot and TAGGED snapshots (named refs,
+     ``Table.create_tag``) always, plus snapshots newer than
      ``older_than_ms`` / the last ``keep_last``.
   2. MARK: walk retained snapshots' manifests → reachable data files
      and manifest files (pure metadata, driver-side).
@@ -46,10 +47,10 @@ def expire_snapshots(
 
     picked: dict = {}
 
-    def pick(snaps, current_id):
+    def pick(snaps, current_id, tagged=()):
         retained, expired = [], []
         for idx, s in enumerate(snaps):
-            keep = s.snapshot_id == current_id
+            keep = s.snapshot_id == current_id or s.snapshot_id in tagged
             if keep_last is not None and idx >= len(snaps) - keep_last:
                 keep = True
             if older_than_ms is not None and s.timestamp_ms >= older_than_ms:
@@ -59,13 +60,15 @@ def expire_snapshots(
 
     if dry_run:
         meta = table.metadata()
-        retained, expired = pick(meta.snapshots, meta.current_snapshot_id)
+        retained, expired = pick(meta.snapshots, meta.current_snapshot_id,
+                                 set(meta.refs.values()))
         picked.update(retained=retained, expired=expired)
     else:
         # 1. drop expired snapshots from metadata FIRST (optimistic CAS —
         #    serializes against concurrent commits without a lock)
         def mutate(meta):
-            retained, expired = pick(meta.snapshots, meta.current_snapshot_id)
+            retained, expired = pick(meta.snapshots, meta.current_snapshot_id,
+                                     set(meta.refs.values()))
             picked.update(retained=retained, expired=expired)
             if not expired:
                 return False, None

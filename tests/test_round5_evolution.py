@@ -143,3 +143,58 @@ def test_drop_column_guards_spec_and_cluster(spark, tmp_path):
     t2.set_properties({"cluster.columns": "v", "cluster.curve": "zorder"})
     with pytest.raises(ValueError, match="cluster"):
         t2.drop_column("v")
+
+
+# -- tags (named refs) ------------------------------------------------------
+
+def test_tag_protects_snapshot_from_expiry(spark, tmp_path):
+    t = Table.create(str(tmp_path / "t"), SCHEMA)
+    for i in range(4):
+        t.append(spark, spark.createDataFrame([(i, str(i))], SCHEMA),
+                 target_file_count=1)
+    sid = t.create_tag("audit", snapshot_id=2)
+    assert sid == 2 and t.ref("audit") == 2
+    out = expire_snapshots(t, keep_last=1, grace_s=0)
+    # 2 survives via the tag, 1 and 3 expire
+    assert set(out["expired_snapshots"]) == {1, 3}
+    assert _rows(t.scan(spark, snapshot_id=t.ref("audit"))) == [
+        (0, "0"), (1, "1")]
+    # dropping the tag releases it for the next expiry
+    t.remove_tag("audit")
+    out2 = expire_snapshots(t, keep_last=1, grace_s=0)
+    assert 2 in set(out2["expired_snapshots"])
+
+
+def test_tag_guards_and_replace(spark, tmp_path):
+    t = Table.create(str(tmp_path / "t"), SCHEMA)
+    with pytest.raises(ValueError):
+        t.create_tag("v1")  # empty table
+    t.append(spark, spark.createDataFrame([(1, "a")], SCHEMA),
+             target_file_count=1)
+    assert t.create_tag("v1") == 1  # defaults to current
+    t.append(spark, spark.createDataFrame([(2, "b")], SCHEMA),
+             target_file_count=1)
+    with pytest.raises(ValueError):
+        t.create_tag("v1", snapshot_id=2)
+    assert t.create_tag("v1", snapshot_id=2, replace=True) == 2
+    assert t.tags() == {"v1": 2}
+    with pytest.raises(KeyError):
+        t.ref("nope")
+    with pytest.raises(KeyError):
+        t.remove_tag("nope")
+    with pytest.raises(KeyError):
+        t.create_tag("v2", snapshot_id=99)
+
+
+def test_set_current_snapshot_reaches_off_line_tag(spark, forked):
+    t = forked
+    # tag the abandoned s3, then jump the pointer to it (rollback_to
+    # refuses non-ancestors; set_current_snapshot is the escape hatch)
+    t.create_tag("abandoned-tip", snapshot_id=3)
+    with pytest.raises(ValueError):
+        t.rollback_to(3)
+    t.set_current_snapshot(t.ref("abandoned-tip"))
+    assert t.current_snapshot_id() == 3
+    assert _rows(t.scan(spark)) == [(1, "a"), (2, "b"), (3, "c"),
+                                    (4, "d"), (5, "e"), (6, "f")]
+    assert t.ancestry() == [1, 2, 3]
