@@ -53,7 +53,9 @@ def cmd_bronze(args) -> int:
 
 
 def cmd_silver(args) -> int:
-    from medalforge_lakehouse_data_spark.pipeline.silver import run_pipeline
+    from medalforge_lakehouse_data_spark.pipeline.silver import (
+        run_pipeline, run_pipeline_incremental,
+    )
     from medalforge_lakehouse_data_spark.plans.catalog import Catalog
     from medalforge_lakehouse_data_spark.plans.silver_contract import load_silver_contract
     from medalforge_lakehouse_data_spark.monitoring.runs import PipelineRunLogger
@@ -68,11 +70,20 @@ def cmd_silver(args) -> int:
         os.path.join(warehouse, "_runs"), pipeline="silver",
         schema=contract.target.schema_name,
     )
-    res = run_pipeline(_spark(args), contract, catalog, run_logger=logger)
+    if args.incremental or args.full_refresh:
+        res = run_pipeline_incremental(
+            _spark(args), contract, catalog, run_logger=logger,
+            on_delete=args.on_delete, full_refresh=args.full_refresh,
+        )
+    else:
+        res = run_pipeline(_spark(args), contract, catalog, run_logger=logger)
     print(json.dumps({
         "merged_rows": res.merged_rows, "quarantined": res.quarantined_rows,
         "remediated": res.remediated_rows, "rejected": res.rejected_rows,
         "snapshot_id": res.target_snapshot_id,
+        **{k: res.metrics[k] for k in
+           ("cdc_from", "cdc_to", "cdc_inserts", "cdc_deletes")
+           if k in res.metrics},
     }))
     return 0
 
@@ -145,6 +156,12 @@ def build_parser() -> argparse.ArgumentParser:
     s = sub.add_parser("silver", help="quality-gated transform + MERGE pipeline")
     s.add_argument("--contract_path", required=True)
     s.add_argument("--warehouse", default=None)
+    s.add_argument("--incremental", action="store_true",
+                   help="process only source changes since the stored cursor")
+    s.add_argument("--on_delete", default="propagate",
+                   choices=["propagate", "ignore"])
+    s.add_argument("--full_refresh", action="store_true",
+                   help="ignore the cursor, rebuild, fast-forward it")
     s.set_defaults(fn=cmd_silver)
 
     m = sub.add_parser("maintenance", help="table maintenance jobs")
