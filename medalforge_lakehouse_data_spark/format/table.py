@@ -372,6 +372,83 @@ class Table:
             cur = meta.snapshot_by_id(cur).parent_id
         return chain[::-1]
 
+    def inspect(self, spark: SparkSession, kind: str = "snapshots",
+                snapshot_id: int | None = None) -> DataFrame:
+        """Metadata tables (Iceberg ``table.snapshots/files/manifests/
+        refs/history`` parity): expose the table's own metadata as a
+        DataFrame so operators can run SQL over it (small-file counts,
+        snapshot audits, ref inventories). Driver-built from the JSON
+        metadata — the same bounded driver working set scan planning
+        already holds (at ~1M files / 100 TB the entries list is
+        O(100 MB), Iceberg-driver-planning order).
+
+        kinds: snapshots | history | refs | manifests | files |
+        delete_files. ``snapshot_id`` pins manifests/files listings."""
+        from pyspark.sql.types import (
+            IntegerType, MapType, StructField,
+        )
+
+        meta = self.metadata()
+        L, S = LongType(), StringType()
+
+        def _df(rows, fields):
+            return spark.createDataFrame(rows, StructType(fields))
+
+        if kind in ("snapshots", "history"):
+            return _df(
+                [(s.snapshot_id, s.parent_id, s.timestamp_ms, s.operation,
+                  s.commit_key,
+                  int(s.summary.get("added_files", 0)),
+                  int(s.summary.get("removed_files", 0)),
+                  int(s.summary.get("total_rows", 0)),
+                  int(s.summary.get("total_files", 0)))
+                 for s in meta.snapshots],
+                [StructField("snapshot_id", L), StructField("parent_id", L),
+                 StructField("timestamp_ms", L), StructField("operation", S),
+                 StructField("commit_key", S), StructField("added_files", L),
+                 StructField("removed_files", L), StructField("total_rows", L),
+                 StructField("total_files", L)])
+        if kind == "refs":
+            return _df(sorted(meta.refs.items()),
+                       [StructField("name", S), StructField("snapshot_id", L)])
+        if kind == "manifests":
+            snap = (meta.snapshot_by_id(snapshot_id) if snapshot_id
+                    else meta.current_snapshot())
+            rows = []
+            for m in (snap.manifest_list if snap else []):
+                if isinstance(m, str):
+                    rows.append((m, None, None, None))
+                else:
+                    rows.append((m["path"], m.get("files"), m.get("rows"),
+                                 m.get("bytes")))
+            return _df(rows, [StructField("path", S), StructField("files", L),
+                              StructField("rows", L), StructField("bytes", L)])
+        if kind in ("files", "delete_files"):
+            import json as _json
+
+            entries = (self.files(snapshot_id) if kind == "files"
+                       else self.delete_files(snapshot_id))
+            rows = [(e.path, e.content, e.rows, e.bytes, e.seq,
+                     e.schema_version,
+                     {k: str(v) for k, v in (e.partition or {}).items()},
+                     _json.dumps(e.cluster) if e.cluster else None,
+                     list(e.zrange) if e.zrange else None,
+                     sorted(e.stats.keys()) if e.stats else [])
+                    for e in entries]
+            from pyspark.sql.types import ArrayType
+            return _df(rows, [
+                StructField("path", S), StructField("content", S),
+                StructField("rows", L), StructField("bytes", L),
+                StructField("seq", L),
+                StructField("schema_version", IntegerType()),
+                StructField("partition", MapType(S, S)),
+                StructField("cluster", S),
+                StructField("zrange", ArrayType(L)),
+                StructField("stat_columns", ArrayType(S))])
+        raise ValueError(
+            f"unknown inspect kind {kind!r}; one of snapshots|history|refs|"
+            f"manifests|files|delete_files")
+
     def set_current_snapshot(self, snapshot_id: int) -> None:
         """Escape-hatch pointer move to ANY retained snapshot (Iceberg
         ``set_current_snapshot``) — unlike ``rollback_to`` the target may

@@ -198,3 +198,29 @@ def test_set_current_snapshot_reaches_off_line_tag(spark, forked):
     assert _rows(t.scan(spark)) == [(1, "a"), (2, "b"), (3, "c"),
                                     (4, "d"), (5, "e"), (6, "f")]
     assert t.ancestry() == [1, 2, 3]
+
+
+# -- metadata inspection tables ---------------------------------------------
+
+def test_inspect_metadata_tables(spark, forked):
+    t = forked
+    t.create_tag("audit", snapshot_id=2)
+    snaps = t.inspect(spark, "snapshots")
+    assert {r["snapshot_id"] for r in snaps.collect()} == {1, 2, 3, 4}
+    assert snaps.filter(F.col("operation") == "append").count() == 4
+    refs = t.inspect(spark, "refs").collect()
+    assert [(r["name"], r["snapshot_id"]) for r in refs] == [("audit", 2)]
+    files = t.inspect(spark, "files")
+    fr = files.collect()
+    assert all(r["content"] == "data" for r in fr)
+    assert files.agg(F.sum("rows")).collect()[0][0] == 3  # s1 (2) + s4 (1)
+    man = t.inspect(spark, "manifests", snapshot_id=3).collect()
+    assert len(man) >= 1 and all(r["path"] for r in man)
+    # SQL over metadata: small-file count
+    files.createOrReplaceTempView("tmeta_files")
+    n = spark.sql(
+        "SELECT count(*) c FROM tmeta_files WHERE bytes < 1048576"
+    ).collect()[0]["c"]
+    assert n == len(fr)
+    with pytest.raises(ValueError):
+        t.inspect(spark, "bogus")
