@@ -349,12 +349,17 @@ class Table:
                 return False, None
             cur = meta.current_snapshot_id
             while cur is not None and cur != snapshot_id:
-                cur = meta.snapshot_by_id(cur).parent_id
+                try:
+                    cur = meta.snapshot_by_id(cur).parent_id
+                except KeyError:
+                    # an expired ancestor truncates the walkable history
+                    cur = None
             if cur != snapshot_id:
                 raise ValueError(
-                    f"snapshot {snapshot_id} is not an ancestor of the current "
-                    f"snapshot {meta.current_snapshot_id}; rollback only "
-                    f"travels the current history line")
+                    f"snapshot {snapshot_id} is not a (retained) ancestor of "
+                    f"the current snapshot {meta.current_snapshot_id}; "
+                    f"rollback only travels the current history line — use "
+                    f"set_current_snapshot for retained off-line snapshots")
             meta.current_snapshot_id = snapshot_id
             return True, None
 
@@ -368,8 +373,14 @@ class Table:
         cur = meta.current_snapshot_id if snapshot_id is None else snapshot_id
         chain: list[int] = []
         while cur is not None:
+            try:
+                s = meta.snapshot_by_id(cur)
+            except KeyError:
+                if not chain:
+                    raise  # the requested snapshot itself is unknown
+                break  # an expired ancestor truncates the chain
             chain.append(cur)
-            cur = meta.snapshot_by_id(cur).parent_id
+            cur = s.parent_id
         return chain[::-1]
 
     def inspect(self, spark: SparkSession, kind: str = "snapshots",

@@ -224,3 +224,23 @@ def test_inspect_metadata_tables(spark, forked):
     assert n == len(fr)
     with pytest.raises(ValueError):
         t.inspect(spark, "bogus")
+
+
+def test_ancestry_and_rollback_survive_expired_parents(spark, tmp_path):
+    t = Table.create(str(tmp_path / "t"), SCHEMA)
+    for i in range(3):
+        t.append(spark, spark.createDataFrame([(i, str(i))], SCHEMA),
+                 target_file_count=1)
+    expire_snapshots(t, keep_last=1, grace_s=0)
+    # s3 survives with parent_id=2 pointing at an expired snapshot:
+    # the ancestry walk truncates instead of crashing
+    assert t.ancestry() == [3]
+    with pytest.raises(KeyError):
+        t.ancestry(snapshot_id=99)
+    t.append(spark, spark.createDataFrame([(9, "z")], SCHEMA),
+             target_file_count=1)
+    assert t.ancestry() == [3, 4]
+    with pytest.raises(KeyError):
+        t.rollback_to(2)        # expired target: unknown snapshot
+    t.rollback_to(3)            # retained ancestor still works
+    assert t.current_snapshot_id() == 3
