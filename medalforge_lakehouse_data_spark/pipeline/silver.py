@@ -269,9 +269,13 @@ def run_pipeline_incremental(
     try:
         delta = src.changes(spark, from_snapshot_id=cursor,
                             to_snapshot_id=src_current).cache()
-    except KeyError as e:
+    except (KeyError, ValueError) as e:
+        # KeyError: the cursor snapshot was expired; ValueError: the
+        # source was rolled back and the cursor sits on an abandoned
+        # branch — either way the window cannot be replayed
         raise RuntimeError(
-            f"CDC cursor snapshot {cursor} is gone (expired?); run with "
+            f"CDC cursor snapshot {cursor} is not on the source's "
+            f"current history (expired or rolled back); run with "
             f"full_refresh=True to rebuild the window") from e
     names = [f.name for f in src.schema.fields]
     keys = list(t.write.merge_keys)

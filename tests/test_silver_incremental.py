@@ -187,3 +187,18 @@ def test_mode_guard(spark, env):
                     "write": {"mode": "append", "merge_keys": []}}})
     with pytest.raises(ValueError, match="merge"):
         run_pipeline_incremental(spark, bad, catalog)
+
+
+def test_source_rollback_demands_full_refresh(spark, env):
+    catalog, contract, src = env
+    src.append(spark, _mk(spark, [("a", 1.0)]), target_file_count=1)
+    src.append(spark, _mk(spark, [("b", 2.0)]), target_file_count=1)
+    run_pipeline_incremental(spark, contract, catalog)   # cursor = 2
+    src.rollback_to(1)
+    src.append(spark, _mk(spark, [("c", 3.0)]), target_file_count=1)
+    # cursor 2 is now on the abandoned branch
+    with pytest.raises(RuntimeError, match="full_refresh"):
+        run_pipeline_incremental(spark, contract, catalog)
+    res = run_pipeline_incremental(spark, contract, catalog,
+                                   full_refresh=True)
+    assert _target_rows(spark, catalog) == {"a": 1.0, "c": 3.0, "b": 2.0}
