@@ -96,7 +96,7 @@ def cmd_maintenance(args) -> int:
 
     t = Table.load(args.table_path)
     spark = None
-    if args.job in ("compact", "cluster"):
+    if args.job in ("compact", "cluster", "inspect"):
         spark = _spark(args)
     if args.job == "compact":
         out = compaction.compact(
@@ -132,6 +132,10 @@ def cmd_maintenance(args) -> int:
             raise SystemExit("untag requires --name")
         t.remove_tag(args.name)
         out = {"removed": args.name, "tags": t.tags()}
+    elif args.job == "inspect":
+        rows = t.inspect(spark, args.kind,
+                         snapshot_id=args.snapshot_id).collect()
+        out = {"kind": args.kind, "rows": [r.asDict() for r in rows]}
     else:
         raise SystemExit(f"unknown job {args.job}")
     print(json.dumps(out))
@@ -167,7 +171,7 @@ def build_parser() -> argparse.ArgumentParser:
     m = sub.add_parser("maintenance", help="table maintenance jobs")
     m.add_argument("job", choices=["compact", "cluster", "expire",
                                    "rewrite-manifests", "rollback",
-                                   "tag", "untag"])
+                                   "tag", "untag", "inspect"])
     m.add_argument("--table_path", required=True)
     m.add_argument("--target_file_bytes", type=int, default=128 * 1024 * 1024)
     m.add_argument("--columns", default="phash,w,h", help="cluster columns (csv)")
@@ -183,6 +187,9 @@ def build_parser() -> argparse.ArgumentParser:
     m.add_argument("--name", default=None, help="tag name")
     m.add_argument("--replace", action="store_true",
                    help="move an existing tag instead of refusing")
+    m.add_argument("--kind", default="snapshots",
+                   help="inspect kind: snapshots|history|refs|manifests|"
+                        "files|delete_files")
     m.add_argument("--checkpoint_root", default=None)
     m.set_defaults(fn=cmd_maintenance)
     return p
