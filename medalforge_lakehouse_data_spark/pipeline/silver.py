@@ -134,6 +134,16 @@ def run_pipeline(
         target_table = catalog.ensure_table(
             t.fqn, final.schema, partition_spec=t.write.partition_by
         )
+        # schema auto-evolution (Delta mergeSchema parity): a column the
+        # source grew (e.g. bronze add_column mid-stream) is ADDED to the
+        # target before the write — without this the merge's projection
+        # to the target schema would silently drop the new data. Removed
+        # columns stay loud (the projection fails), forcing an explicit
+        # migration.
+        existing = set(target_table.schema.fieldNames())
+        for f in final.schema.fields:
+            if f.name not in existing:
+                target_table.add_column(f.name, f.dataType)
         if t.write.mode == "merge":
             merge_into(target_table, final, t.write.merge_keys, spark,
                        commit_key=_ck("merge"))

@@ -202,3 +202,24 @@ def test_source_rollback_demands_full_refresh(spark, env):
     res = run_pipeline_incremental(spark, contract, catalog,
                                    full_refresh=True)
     assert _target_rows(spark, catalog) == {"a": 1.0, "c": 3.0, "b": 2.0}
+
+
+def test_bronze_schema_evolution_flows_through(spark, env):
+    catalog, contract, src = env
+    src.append(spark, _mk(spark, [("a", 1.0)]), target_file_count=1)
+    run_pipeline_incremental(spark, contract, catalog)
+    # bronze grows a column mid-stream; the delta batch carries it
+    src.add_column("note", "string")
+    from pyspark.sql.types import StructType, StructField
+    s2 = StructType([StructField("id", StringType()),
+                     StructField("amount", DoubleType()),
+                     StructField("note", StringType())])
+    src.append(spark, spark.createDataFrame([("b", 2.0, "hello")], s2),
+               target_file_count=1)
+    res = run_pipeline_incremental(spark, contract, catalog)
+    assert res.metrics["cdc_inserts"] == 1
+    tgt = catalog.load("main.silver.tgt")
+    out = {r["id"]: (r["amount"], r["note"])
+           for r in tgt.scan(spark).collect()}
+    # the new column reaches silver; pre-evolution rows read NULL
+    assert out == {"a": (1.0, None), "b": (2.0, "hello")}
