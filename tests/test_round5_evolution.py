@@ -244,3 +244,33 @@ def test_ancestry_and_rollback_survive_expired_parents(spark, tmp_path):
         t.rollback_to(2)        # expired target: unknown snapshot
     t.rollback_to(3)            # retained ancestor still works
     assert t.current_snapshot_id() == 3
+
+
+def test_wap_write_audit_publish_flow(spark, tmp_path):
+    """WAP recipe over tags+rollback: pin the audited state, let writers
+    land commits, audit the head, then either publish (move the pin
+    forward) or roll back to the pin — no branch machinery needed."""
+    t = Table.create(str(tmp_path / "t"), SCHEMA)
+    t.append(spark, spark.createDataFrame([(1, "a")], SCHEMA),
+             target_file_count=1)
+    t.create_tag("published")                     # pin the good state
+
+    # write: a batch lands on the table but is not yet "published"
+    t.append(spark, spark.createDataFrame([(2, "BAD")], SCHEMA),
+             target_file_count=1)
+    # audit fails → consumers were never switched; roll back to the pin
+    bad = t.scan(spark).filter(F.col("v") == "BAD").count()
+    assert bad == 1
+    t.rollback_to(t.ref("published"))
+    assert _rows(t.scan(spark)) == [(1, "a")]
+
+    # next attempt passes audit → publish = move the pin forward
+    t.append(spark, spark.createDataFrame([(3, "c")], SCHEMA),
+             target_file_count=1)
+    assert t.scan(spark).filter(F.col("v") == "BAD").count() == 0
+    t.create_tag("published", replace=True)
+    assert t.ref("published") == t.current_snapshot_id()
+    # the abandoned bad commit is reclaimable; the pin survives expiry
+    out = expire_snapshots(t, keep_last=1, grace_s=0)
+    assert 2 in set(out["expired_snapshots"])
+    assert _rows(t.scan(spark)) == [(1, "a"), (3, "c")]
