@@ -1371,12 +1371,26 @@ class Table:
                 ))
             if rm_data:
                 # copy-on-write rewrite: kept rows appear verbatim on both
-                # sides and cancel; what survives is the logical change
+                # sides and cancel; what survives is the logical change.
+                # The removed files must be read with the PARENT snapshot's
+                # equality deletes applied (per-entry seq rule): a row
+                # already masked by an earlier delete file was not live
+                # before the rewrite, so diffing the RAW file contents
+                # would emit a spurious 'delete' event for it — and if the
+                # key was re-inserted elsewhere in between, an incremental
+                # consumer would net that as a live-row deletion.
+                # Added files carry the commit's own (maximal) seq, so no
+                # delete file can apply to them — raw read is exact there.
                 new_rows = (self.read_entries(spark, add_data,
                                               apply_deletes=False)
                             if add_data else spark.createDataFrame([], schema))
-                old_rows = self.read_entries(spark, rm_data,
-                                             apply_deletes=False)
+                rm_min_seq = min((e.seq or 0) for e in rm_data)
+                parent_dels = [
+                    d for d in self.files(s.parent_id)
+                    if d.content == "deletes" and (d.seq or 0) > rm_min_seq
+                ]
+                old_rows = self._read_aligned(spark, rm_data, schema, meta,
+                                              deletes=parent_dels)
                 pieces.append(_tag(new_rows.exceptAll(old_rows),
                                    "insert", s.snapshot_id))
                 pieces.append(_tag(old_rows.exceptAll(new_rows),

@@ -417,14 +417,30 @@ def hash_preimages(spark: SparkSession, n: int) -> list[int]:
 _PART_ID_RE = __import__("re").compile(r"part-(\d+)")
 
 
-def _stamp_zranges(entries: list, boundaries: list[int]) -> None:
+def curve_key_domain(ncols: int) -> tuple[int, int]:
+    """Inclusive range every curve key can take: normalize_to_bits maps
+    each column into [0, 2^bits), so Morton/Hilbert keys over ncols
+    dimensions live in [0, 2^(bits*ncols) - 1]. Edge files are stamped
+    with THESE edges, not ±2^63 sentinels — keys are never negative, and
+    an astronomically wide edge zrange would drag the uniform-distribution
+    interpolation in _layout_boundaries_uncached into empty key space
+    (degrading served merge layouts, and auto-refresh could re-record the
+    poisoned list)."""
+    b = curve_bits(ncols)
+    return 0, (1 << (b * ncols)) - 1
+
+
+def _stamp_zranges(entries: list, boundaries: list[int],
+                   key_domain: tuple[int, int] | None = None) -> None:
     """Record each written file's inclusive curve-key range on its
     manifest entry. The shuffle-partition id in the parquet part name IS
     the range id (hash-preimage routing maps range p to shuffle
     partition p by construction), and range p's rows fall in
     [boundaries[p-1], boundaries[p]] — inclusive on BOTH edges because
-    the tie-spread can land boundary-valued rows in either neighbor."""
-    lo_edge, hi_edge = -(1 << 63), (1 << 63) - 1
+    the tie-spread can land boundary-valued rows in either neighbor.
+    The first/last range is clamped to ``key_domain`` (the curve-key
+    value domain) rather than int64 sentinels — see curve_key_domain."""
+    lo_edge, hi_edge = key_domain if key_domain is not None else (0, (1 << 63) - 1)
     for e in entries:
         m = _PART_ID_RE.search(os.path.basename(e.path))
         if not m:
@@ -445,6 +461,7 @@ def write_range_partitioned(
     boundaries: list[int],
     sort_within: list[str],
     record_zrange: bool = False,
+    key_domain: tuple[int, int] | None = None,
 ) -> list:
     """One-pass range-partitioned write: assign each row its range id from
     precomputed ``boundaries``, map the id through a hash preimage, and
@@ -470,7 +487,7 @@ def write_range_partitioned(
         sort_within=sort_within, shuffle_col="_px",
     )
     if record_zrange:
-        _stamp_zranges(added, boundaries)
+        _stamp_zranges(added, boundaries, key_domain)
     return added
 
 
@@ -646,6 +663,7 @@ def cluster_rewrite(
         added = write_range_partitioned(
             table, spark, keyed, n_out, bnds, ["_zkey", "_ztie"],
             record_zrange=stamp_zrange,
+            key_domain=curve_key_domain(len(columns)),
         )
         for e in added:
             e.cluster = tag

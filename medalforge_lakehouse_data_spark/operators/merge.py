@@ -115,17 +115,26 @@ def merge_into(
             return {"snapshot_id": prior.snapshot_id, "resumed": True}
 
     source = source.cache()
-    src_count = source.count()
-    if check_unique_keys and src_count > 0:
+    # ONE profiling pass over the cached source folds what used to be four
+    # jobs (count, duplicate-key groupBy, key min/max agg, cluster-column
+    # stats agg) into a single aggregation (guide §1.2/§2.4 — fewer
+    # passes; every merge pays this fixed cost). distinct-key count is
+    # exact: count(distinct struct(keys)) groups NULL keys together the
+    # same way groupBy does.
+    cl_cols = [c.strip() for c in
+               table.metadata().properties.get("cluster.columns", "").split(",")
+               if c.strip() and c.strip() in cols]
+    profile = _source_profile(source, keys, cl_cols)
+    src_count = profile["cnt"]
+    if check_unique_keys and src_count > 0 and profile["dk"] < src_count:
         # reference precondition: duplicate merge keys ⇒ nondeterministic
-        # upsert; enforce like an is_unique check (README.md:379)
+        # upsert; enforce like an is_unique check (README.md:379). The
+        # example-fetching groupBy runs only on the error path.
         dup = (
             source.groupBy(*keys).count().filter(F.col("count") > 1).limit(1).collect()
         )
-        if dup:
-            raise ValueError(
-                f"duplicate merge keys in source, e.g. {tuple(dup[0][k] for k in keys)}"
-            )
+        example = (f", e.g. {tuple(dup[0][k] for k in keys)}" if dup else "")
+        raise ValueError(f"duplicate merge keys in source{example}")
     if src_count == 0:
         # reference: emptiness probe short-circuits (merge.py:151-152)
         return {"snapshot_id": table.current_snapshot_id(), "noop": True}
@@ -135,7 +144,7 @@ def merge_into(
             out = _merge_on_read_conditional(
                 table, source, keys, spark, when_matched, when_not_matched,
                 matched_condition, update_columns, commit_key, src_count,
-                cols, t0)
+                cols, t0, profile=profile)
         else:
             out = _merge_on_read(table, source, keys, spark, when_matched,
                                  when_not_matched, commit_key, src_count,
@@ -143,8 +152,27 @@ def merge_into(
         source.unpersist()
         return out
 
+    if when_not_matched == "insert" and not table.files(content="data"):
+        # Empty-target fast path: every source row is an insert (nothing
+        # can match), so the merge is exactly "write the source" — skip
+        # planning, the target read, and the anti/semi joins. Commit
+        # semantics (operation, commit_key idempotency, layout re-key on
+        # recorded cluster properties, plan-seq delete validation) are
+        # identical to the general path planned against the same empty
+        # snapshot. First-merge-into-a-fresh-table is the common silver
+        # bootstrap shape.
+        out = _write_and_commit(
+            table, spark, source, [],
+            {"files_total": 0, "files_kept": 0, "bucket_prune": None},
+            src_count, keys, commit_key, cols, t0,
+            plan_seq=table.metadata().last_sequence,
+            source=source, profile=profile,
+        )
+        source.unpersist()
+        return out
+
     affected, prune_metrics, plan_seq = _plan_affected(
-        table, source, keys, spark, src_count)
+        table, source, keys, spark, src_count, profile=profile)
     # schema-evolution-safe read: aligns old-version files by field id
     target = table.read_entries(spark, affected)
 
@@ -159,7 +187,7 @@ def merge_into(
         out = _write_and_commit(
             table, spark, result, affected, prune_metrics, src_count,
             keys, commit_key, cols, t0, plan_seq, source=source,
-            update_columns=update_columns,
+            update_columns=update_columns, profile=profile,
         )
         source.unpersist()
         return out
@@ -213,12 +241,43 @@ def merge_into(
     out = _write_and_commit(
         table, spark, result, affected, prune_metrics, src_count,
         keys, commit_key, cols, t0, plan_seq, source=source,
+        profile=profile,
     )
     source.unpersist()
     return out
 
 
-def _plan_affected(table, source, keys, spark, src_count):
+def _source_profile(source, keys: list[str], cl_cols: list[str]):
+    """ONE aggregation over the (cached) source yielding everything the
+    merge's planning and layout stages need:
+
+      cnt            row count
+      dk             exact distinct merge-key count — count(distinct
+                     struct(keys)) groups NULL keys like groupBy does,
+                     so cnt > dk ⇔ a duplicate-key group exists
+      mn_k / mx_k    min/max of the first merge key (file pruning tier 1)
+      mn_/mx_/nn_<c> min/max/null-count per cluster column (layout
+                     re-key span restriction)
+
+    Replaces four separate jobs (count, dup-check groupBy, key-bounds
+    agg, cluster-stats agg) with one pass (guide §1.2: fewer passes)."""
+    k0 = keys[0]
+    aggs = [
+        F.count(F.lit(1)).alias("cnt"),
+        F.count_distinct(F.struct(*[F.col(k) for k in keys])).alias("dk"),
+        F.min(k0).alias("mn_k"),
+        F.max(k0).alias("mx_k"),
+    ]
+    for c in cl_cols:
+        aggs += [
+            F.min(c).alias(f"mn_{c}"),
+            F.max(c).alias(f"mx_{c}"),
+            F.sum(F.col(c).isNull().cast("long")).alias(f"nn_{c}"),
+        ]
+    return source.agg(*aggs).collect()[0]
+
+
+def _plan_affected(table, source, keys, spark, src_count, profile=None):
     """Prune the target files a merge must consider (metadata only), four
     tiers:
       0. partition-level: a bucket(key, N) transform in the partition spec
@@ -241,18 +300,23 @@ def _plan_affected(table, source, keys, spark, src_count):
     import math
 
     k0 = keys[0]
+    # distinct-key count for the density bounds below: the exact dk from
+    # the shared profile when available. Row count is only an upper bound
+    # on distinct keys — a duplicate-heavy source (1M rows over 100 keys)
+    # must not skip pruning tiers sized on DISTINCT keys (ADVICE r5 #3).
+    dk = int(profile["dk"]) if profile is not None else src_count
     plan_filters: list = []
     bucket_prune = None
     for p in table.partition_spec:
         fname, src_col, transform, n = parse_partition_field(p)
         if transform == "bucket" and src_col in keys:
             # Coupon-collector bound (round-4 VERDICT #6): a source with
-            # src_count ≫ N·ln N distinct keys has hashed into every
-            # bucket with overwhelming probability (P[missing one] ≤
-            # N·(1-1/N)^cnt ≈ N^-3 at the 4× margin) — the IN-filter
+            # dk ≫ N·ln N distinct keys has hashed into every bucket
+            # with overwhelming probability (P[missing one] ≤
+            # N·(1-1/N)^dk ≈ N^-3 at the 4× margin) — the IN-filter
             # would keep everything, so skip the distinct-bucket agg job
             # entirely. Skipping only loses pruning, never correctness.
-            if src_count > max(64, int(4 * n * math.log(n + 1))):
+            if dk > max(64, int(4 * n * math.log(n + 1))):
                 bucket_prune = "skipped-dense"
                 continue
             bkts = sorted(
@@ -265,14 +329,18 @@ def _plan_affected(table, source, keys, spark, src_count):
             bucket_prune = "collected"
             if bkts:
                 plan_filters.append((fname, "in", tuple(bkts)))
-    b = source.agg(F.min(k0).alias("mn"), F.max(k0).alias("mx")).collect()[0]
-    plan_filters.append((k0, "between", (b["mn"], b["mx"])))
+    if profile is not None:
+        mn, mx = profile["mn_k"], profile["mx_k"]
+    else:
+        b = source.agg(F.min(k0).alias("mn"), F.max(k0).alias("mx")).collect()[0]
+        mn, mx = b["mn"], b["mx"]
+    plan_filters.append((k0, "between", (mn, mx)))
     # sequence this merge plans/reads at — a MoR delete committed after it
     # would not apply to the rewritten rows; rewrite_files validates
     plan_seq = table.metadata().last_sequence
     affected, prune_metrics = table.plan_files(filters=plan_filters)
     prune_metrics["bucket_prune"] = bucket_prune
-    if 0 < src_count <= MERGE_KEY_COLLECT_LIMIT:
+    if 0 < dk <= MERGE_KEY_COLLECT_LIMIT:
         from medalforge_lakehouse_data_spark.format.bloom import hash_values
 
         src_keys = sorted(r[0] for r in source.select(k0).distinct().collect()
@@ -285,7 +353,7 @@ def _plan_affected(table, source, keys, spark, src_count):
 def _merge_on_read_conditional(table, source, keys, spark, when_matched,
                                when_not_matched, matched_condition,
                                update_columns, commit_key, src_count, cols,
-                               t0) -> dict:
+                               t0, profile=None) -> dict:
     """Conditional / column-subset MERGE under merge-on-read (round-3
     VERDICT missing #2): read ONLY the matched rows of the pruned
     affected files, evaluate ``WHEN MATCHED AND cond``, and commit one
@@ -316,7 +384,7 @@ def _merge_on_read_conditional(table, source, keys, spark, when_matched,
             raise ValueError(f"update_columns not updatable (missing or keys): {bad}")
     for attempt in range(5):
         affected, prune_metrics, plan_seq = _plan_affected(
-            table, source, keys, spark, src_count)
+            table, source, keys, spark, src_count, profile=profile)
         target = table.read_entries(spark, affected)
         small = src_count <= BROADCAST_ROW_LIMIT
         t, s = target.alias("t"), (F.broadcast(source) if small else source).alias("s")
@@ -542,7 +610,7 @@ def _merge_key_span(affected, sb, cl_cols, rec_bounds, curve,
 
 def _write_and_commit(table, spark, result, affected, prune_metrics, src_count,
                       keys, commit_key, cols, t0, plan_seq=None,
-                      source=None, update_columns=None) -> dict:
+                      source=None, update_columns=None, profile=None) -> dict:
     """Shared MERGE tail: size outputs, preserve any recorded clustering
     layout, write the replacement files, and commit the rewrite."""
     # size outputs to the incoming data volume; the rows-based floor covers
@@ -581,6 +649,7 @@ def _write_and_commit(table, spark, result, affected, prune_metrics, src_count,
     est_result_bytes = bytes_affected + int(src_count * avg_row_bytes)
     served_bnds = None
     bnds_source = None
+    key_span = None
     if cl_cols and all(c in cols for c in cl_cols) and est_result_bytes >= rekey_min:
         from medalforge_lakehouse_data_spark.maintenance.clustering import (
             box_curve_key_range,
@@ -634,13 +703,19 @@ def _write_and_commit(table, spark, result, affected, prune_metrics, src_count,
                 # null counts included: a null cluster-column value keys
                 # at coordinate 0, outside the [key(mins), key(maxes)]
                 # dominance bound — the span restriction must then be
-                # dropped (boundaries list served in full instead)
-                sb = source.agg(
-                    *[F.min(c).alias(f"mn_{c}") for c in cl_cols],
-                    *[F.max(c).alias(f"mx_{c}") for c in cl_cols],
-                    *[F.sum(F.col(c).isNull().cast("long")).alias(f"nn_{c}")
-                      for c in cl_cols],
-                ).collect()[0]
+                # dropped (boundaries list served in full instead).
+                # Served from the merge's single profiling pass when the
+                # caller computed one (no extra agg job per merge).
+                pdict = profile.asDict() if profile is not None else {}
+                if all(f"mn_{c}" in pdict for c in cl_cols):
+                    sb = profile
+                else:
+                    sb = source.agg(
+                        *[F.min(c).alias(f"mn_{c}") for c in cl_cols],
+                        *[F.max(c).alias(f"mx_{c}") for c in cl_cols],
+                        *[F.sum(F.col(c).isNull().cast("long")).alias(f"nn_{c}")
+                          for c in cl_cols],
+                    ).collect()[0]
                 ok = all(
                     sb[f"mn_{c}"] is None
                     or _within(sb[f"mn_{c}"], sb[f"mx_{c}"], c)
@@ -668,6 +743,7 @@ def _write_and_commit(table, spark, result, affected, prune_metrics, src_count,
                 if mb is not None:
                     bounds, served_bnds = rec_bounds, mb
                     bnds_source = "manifest"
+                    key_span = span  # every result row provably inside
         if bounds is None and all(cur_bounds[c][0] is not None for c in cl_cols):
             bounds = cur_bounds
         if bounds is not None:
@@ -722,9 +798,19 @@ def _write_and_commit(table, spark, result, affected, prune_metrics, src_count,
         # recorded cluster.bounds normalization); the computed fallback
         # keys under fresh bounds, whose zranges would poison the
         # manifest-derived layout
+        from medalforge_lakehouse_data_spark.maintenance.clustering import (
+            curve_key_domain,
+        )
+
+        # edge-file zrange stamps clamp to the merge's own key span when
+        # one was proven (every result row lies inside it), else to the
+        # curve-key value domain — never ±2^63 sentinels, which would
+        # poison manifest-derived boundary interpolation (ADVICE r5 #2)
         added = write_range_partitioned(
             table, spark, result, n_out, bnds, sort_within,
             record_zrange=served_bnds is not None,
+            key_domain=(key_span if key_span is not None
+                        else curve_key_domain(len(cl_cols))),
         )
     else:
         added = table._write_data_files(
