@@ -82,8 +82,12 @@ def transcode_rewrite(
     df = table.scan(spark, snapshot_id)
     schema_plus = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in schema.fields)
     out = df.mapInPandas(transcode, schema=f"{schema_plus}, _kept_original int")
-    out = out.cache()
-    kept_originals = 0  # conservative: summing per-batch markers over rows is inflated; recount below
+    # NO cache of the transcoded rows: the write below is their only
+    # consumer, and materializing the whole (at scale: table-sized) image
+    # payload into executor memory bought nothing but memory pressure —
+    # the kept-original recount afterwards reads ONLY the fmt column of
+    # the freshly written files (parquet column pruning skips the blobs),
+    # a metadata-cheap job instead of a table-sized cache (guide §5).
     added = table._write_data_files(
         spark, out.drop("_kept_original"), target_file_count=target_file_count
     )
@@ -98,8 +102,10 @@ def transcode_rewrite(
         # idempotent via commit_key, so callers simply re-run on conflict
         validate_from_sequence=plan_seq,
     )
-    kept_originals = out.filter(F.col("fmt") != target_fmt).count()
-    out.unpersist()
+    kept_originals = (
+        table.read_entries(spark, added)
+        .filter(F.col("fmt") != target_fmt).select("fmt").count()
+    )
     dt = time.monotonic() - t0
     rows = sum(e.rows for e in added)
     bytes_in = sum(e.bytes for e in files)

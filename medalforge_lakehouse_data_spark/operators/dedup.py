@@ -73,10 +73,6 @@ def _minhash_params(num_hashes: int, seed: int) -> tuple[np.ndarray, np.ndarray]
     return a, b
 
 
-# odd 64-bit multiplier (golden-ratio) for the rolling shingle combine
-_ROLL = np.uint64(0x9E3779B97F4A7C15)
-
-
 def _batch_vocab(toks_per_row: list[list[str] | None], seed: int = 0) -> dict[str, int]:
     """Hash each UNIQUE word once per Arrow batch (crc32 hi/lo). The only
     Python-level hashing left in the text-dedup kernels — amortized over
@@ -88,46 +84,51 @@ def _batch_vocab(toks_per_row: list[list[str] | None], seed: int = 0) -> dict[st
     return {w: _det_hash64(w, seed) for w in uniq}
 
 
-def _row_shingle_hashes(toks: list[str], vocab: dict[str, int], shingle_k: int) -> np.ndarray:
-    """k-word shingle hashes via rolling polynomial combine over the
-    word-hash vector: S[i] = Σ_j hw[i+j]·R^j mod 2^64 — k vectorized
-    mult-adds, no per-shingle Python, no string joins."""
-    if len(toks) < shingle_k:
-        return np.array([_det_hash64(" ".join(toks))], dtype=np.uint64)
-    hw = np.fromiter((vocab[w] for w in toks), dtype=np.uint64, count=len(toks))
-    m = len(toks) - shingle_k + 1
-    acc = np.zeros(m, dtype=np.uint64)
-    rp = 1
-    for j in range(shingle_k):
-        acc += hw[j : j + m] * np.uint64(rp)
-        rp = (rp * int(_ROLL)) & 0xFFFFFFFFFFFFFFFF  # python-int mod 2^64
-    return acc
+def _i64(v: np.uint64) -> int:
+    """uint64 → the int64 with the same bit pattern (Spark long literal)."""
+    x = int(v)
+    return x - (1 << 64) if x >= (1 << 63) else x
 
 
-def minhash_signature_udf(num_hashes: int = 64, shingle_k: int = 5, seed: int = 42):
-    """pandas UDF: text → minhash signature (array<long>), batch-vectorized.
+def minhash_signature_expr(grams: Column, num_hashes: int, seed: int) -> Column:
+    """MinHash signature as a pure Column expression over a gram-hash
+    array: sig_i = min_g (a_i·g + b_i), with the a_i odd so each map is a
+    bijection of 64-bit gram space (the standard approximately-min-wise
+    family). Java long arithmetic wraps mod 2^64 exactly like the uint64
+    numpy kernel it replaces (requires non-ANSI mode — the session
+    default; ANSI would raise on overflow), and min under SIGNED order of
+    a random bijection is as min-wise as unsigned order — any fixed total
+    order works for the MinHash collision argument, so
+    P(sig_a[i] == sig_b[i]) = Jaccard(A, B) still holds.
 
-    Per batch: unique words hashed once; per row: rolling-combine shingle
-    hashes (numpy) then a (H,S) broadcasted a*x+b over Z_2^64 and a min
-    per hash. Duplicate shingles need no dedup — min is multiset-safe."""
+    Replacing the round-1 pandas UDF removes the ArrowEvalPython node
+    (and its JVM↔Python transfer) from the signature pass entirely
+    (guide §4.1: prefer built-ins), and lets the signature share one
+    cached gram-set projection with the exact-Jaccard verifier."""
     a, b = _minhash_params(num_hashes, seed)
-    a2, b2 = a[:, None], b[:, None]
+    params = F.array(*[
+        F.struct(F.lit(_i64(x)).alias("a"), F.lit(_i64(y)).alias("b"))
+        for x, y in zip(a, b)
+    ])
+    return F.transform(
+        params,
+        lambda p: F.array_min(F.transform(grams, lambda g: g * p["a"] + p["b"])),
+    )
 
-    @pandas_udf(ArrayType(LongType()))
-    def _sig(texts: pd.Series) -> pd.Series:
-        toks_per_row = [t.lower().split() if t is not None else None for t in texts]
-        vocab = _batch_vocab(toks_per_row)
-        out = []
-        for toks in toks_per_row:
-            if toks is None:
-                out.append(None)
-                continue
-            x = _row_shingle_hashes(toks, vocab, shingle_k)
-            m = a2 * x[None, :] + b2  # uint64 wraparound = mod 2^64
-            out.append(m.min(axis=1).view(np.int64).tolist())
-        return pd.Series(out)
 
-    return _sig
+def _gram_sets(docs: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame:
+    """Shared (id, grams) projection: distinct xxhash64 of k-word windows
+    over whitespace-tokenized lowercased text, JVM-side. Null texts are
+    dropped (no candidate generator emits pairs for them). MinHash
+    signatures, the n-gram inverted index, and the exact-Jaccard
+    verifier all derive from THIS shape, so a caller that caches it pays
+    the tokenization exactly once per corpus."""
+    return (
+        _spread(docs.select(F.col(id_col).alias("id"),
+                            F.col(text_col).alias("text")))
+        .filter(F.col("text").isNotNull())
+        .select("id", _word_ngram_hashes(F.col("text"), k).alias("grams"))
+    )
 
 
 def minhash_near_dup_pairs(
@@ -147,14 +148,20 @@ def minhash_near_dup_pairs(
     sharing any band-hash become candidates (one shuffle on the band
     key). est_jaccard = fraction of matching minhashes. Buckets larger
     than ``max_bucket`` are dropped (boilerplate explosion guard — the
-    standard practice; log-visible via the caller counting dropped)."""
+    standard practice; log-visible via the caller counting dropped).
+
+    The signature is computed JVM-side over the SAME cached gram-set
+    projection shingle_jaccard_verify reads (guide §4.1/§2.4): zero
+    Python in the path, one tokenization pass per corpus, and est_jaccard
+    estimates exactly the shingle-set Jaccard the verifier computes."""
     if num_hashes % bands:
         raise ValueError("num_hashes must be divisible by bands")
     r = num_hashes // bands
-    sig = minhash_signature_udf(num_hashes, shingle_k, seed)
-    with_sig = _spread(df.select(F.col(id_col).alias("id"), F.col(text_col).alias("text"))) \
-                 .withColumn("sig", sig(F.col("text"))).filter(F.col("sig").isNotNull())
-    with_sig = with_sig.cache()
+    grams_df = _gram_sets(df, id_col, text_col, shingle_k).cache()
+    with_sig = grams_df.select(
+        "id",
+        minhash_signature_expr(F.col("grams"), num_hashes, seed).alias("sig"),
+    )
 
     band_cols = F.explode(
         F.transform(
@@ -301,9 +308,12 @@ def shingle_jaccard_verify(
     JVM-side throughout: shingle sets as distinct xxhash64 of k-word
     windows (same tokenization as the minhash/simhash kernels), |A∩B|
     via array_intersect. Runs only on candidates, so the cost is
-    O(pairs), not O(n²)."""
-    g = _spread(docs.select(F.col(id_col).alias("id"), F.col(text_col).alias("t"))) \
-        .select("id", _word_ngram_hashes(F.col("t"), shingle_k).alias("grams"))
+    O(pairs), not O(n²). Uses the same _gram_sets shape the candidate
+    generators key on — when the generator cached it (minhash/ngram do),
+    this read is an InMemoryTableScan, not a second tokenization pass.
+    Null-text docs are dropped like every candidate generator drops
+    them (they can never appear in ``pairs``)."""
+    g = _gram_sets(docs, id_col, text_col, shingle_k)
     return (
         pairs.select("id_a", "id_b")
         .join(g.select(F.col("id").alias("id_a"), F.col("grams").alias("g_a")), "id_a")
@@ -330,9 +340,7 @@ def ngram_jaccard_pairs(
     explode n-grams → self-join on the n-gram (postings capped at
     ``max_posting`` to bound hot-gram fanout) → |A∩B| per pair → Jaccard
     with per-doc set sizes. Pure DataFrame ops, fully distributed."""
-    base = _spread(df.select(F.col(id_col).alias("id"), F.col(text_col).alias("t"))) \
-        .select("id", _word_ngram_hashes(F.col("t"), n).alias("grams")).cache()
-    sizes = base.select("id", F.array_size("grams").alias("sz"))
+    base = _gram_sets(df, id_col, text_col, n).cache()
     posts = base.select("id", F.array_size("grams").alias("sz"),
                         F.explode("grams").alias("g"))
     # drop hot grams via groupBy + broadcast anti-join: partial-aggregates
@@ -344,7 +352,12 @@ def ngram_jaccard_pairs(
     # length filter (set-similarity join standard): Jaccard >= t forces
     # t <= |A|/|B| <= 1/t, so size-incompatible pairs are dropped INSIDE
     # the join before they reach the pair aggregation (round-2 VERDICT
-    # perf #3 — candidate pre-filter ahead of the posting self-join)
+    # perf #3 — candidate pre-filter ahead of the posting self-join).
+    # Posting rows already carry their doc's set size, so the sizes ride
+    # the pair aggregation as (functionally dependent) grouping keys —
+    # the round-1 shape re-joined a sizes projection TWICE after the
+    # aggregation, two whole extra shuffles for values the join had
+    # already shipped (guide §2.4: remove shuffles outright).
     inter = (
         posts.alias("l").join(
             posts.alias("r"),
@@ -353,14 +366,14 @@ def ngram_jaccard_pairs(
             & (F.col("l.sz") * F.lit(threshold) <= F.col("r.sz"))
             & (F.col("r.sz") * F.lit(threshold) <= F.col("l.sz")),
         )
-        .groupBy(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+        .groupBy(F.col("l.id").alias("id_a"), F.col("l.sz").alias("sz_a"),
+                 F.col("r.id").alias("id_b"), F.col("r.sz").alias("sz_b"))
         .agg(F.count("*").alias("common"))
     )
-    out = (
-        inter.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
-        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
-        .withColumn("jaccard", F.col("common") / (F.col("sz_a") + F.col("sz_b") - F.col("common")))
-        .select("id_a", "id_b", "jaccard")
+    out = inter.select(
+        "id_a", "id_b",
+        (F.col("common")
+         / (F.col("sz_a") + F.col("sz_b") - F.col("common"))).alias("jaccard"),
     )
     return out.filter(F.col("jaccard") >= threshold)
 
