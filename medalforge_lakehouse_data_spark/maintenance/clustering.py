@@ -117,6 +117,79 @@ def box_curve_key_range(mins: Sequence, maxs: Sequence,
     return int(lo[0]), int(hi[0])
 
 
+def _normalized_col(c, lo, hi, bits: int):
+    """Column replica of zorder.normalize_to_bits, op-for-op: same IEEE
+    double arithmetic in the same order, so the JVM key is bit-identical
+    to the numpy kernel's (property-tested). NULL → raw 0.0 (pandas
+    na_value), NaN → coordinate 0, ±inf clipped to the edges."""
+    top = float((1 << bits) - 1)
+    if lo is None or hi is None:
+        return F.lit(0).cast("long")
+    try:
+        flo, fhi = float(lo), float(hi)
+    except (TypeError, ValueError):
+        return None
+    if not fhi > flo:
+        return F.lit(0).cast("long")
+    # NULL and NaN both become RAW 0.0 before scaling — pandas'
+    # to_numpy(na_value=0.0) treats NaN as missing, so the numpy kernel
+    # never sees a NaN; ±inf survives to the clip (nan_to_num edges)
+    v = F.coalesce(c.cast("double"), F.lit(0.0))
+    v = F.when(F.isnan(v), F.lit(0.0)).otherwise(v)
+    scaled = (v - F.lit(flo)) / F.lit(fhi - flo) * F.lit(top)
+    clipped = F.least(F.greatest(scaled, F.lit(0.0)), F.lit(top))
+    return clipped.cast("long")
+
+
+def _spread3_col(x):
+    x = x.bitwiseAND(F.lit(0x1FFFFF))
+    for sh, m in ((32, 0x1F00000000FFFF), (16, 0x1F0000FF0000FF),
+                  (8, 0x100F00F00F00F00F), (4, 0x10C30C30C30C30C3),
+                  (2, 0x1249249249249249)):
+        x = x.bitwiseOR(F.shiftleft(x, sh)).bitwiseAND(F.lit(m))
+    return x
+
+
+def _spread2_col(x):
+    x = x.bitwiseAND(F.lit(0xFFFFFFFF))
+    for sh, m in ((16, 0x0000FFFF0000FFFF), (8, 0x00FF00FF00FF00FF),
+                  (4, 0x0F0F0F0F0F0F0F0F), (2, 0x3333333333333333),
+                  (1, 0x5555555555555555)):
+        x = x.bitwiseOR(F.shiftleft(x, sh)).bitwiseAND(F.lit(m))
+    return x
+
+
+def curve_key_col(columns: Sequence[str], bounds: dict, curve: str = "zorder"):
+    """Pure-Column z-order key — the whole-stage-codegen replacement for
+    the pandas UDF on the Morton path (guide §4.1: eliminate the Python
+    boundary; rows no longer cross JVM↔Python just to be keyed). The
+    normalize + bit-spread pipeline replicates functions/zorder.py
+    bit-for-bit (sign bit always clear, so int64 ordering == uint64
+    ordering exactly as the numpy kernel guarantees). Returns None when
+    this curve/bounds combination needs the numpy kernel (hilbert's
+    state-transform walk, or non-numeric bounds) — callers fall back to
+    curve_key_udf."""
+    if curve != "zorder" or not 1 <= len(columns) <= 3:
+        return None
+    bits = curve_bits(len(columns))
+    norm = []
+    for c in columns:
+        nc = _normalized_col(F.col(c), bounds[c][0], bounds[c][1], bits)
+        if nc is None:
+            return None
+        norm.append(nc)
+    if len(norm) == 1:
+        return norm[0]
+    if len(norm) == 2:
+        z = F.shiftleft(_spread2_col(norm[0]), 1).bitwiseOR(_spread2_col(norm[1]))
+        return F.shiftright(z, 1)
+    return (
+        F.shiftleft(_spread3_col(norm[0]), 2)
+        .bitwiseOR(F.shiftleft(_spread3_col(norm[1]), 1))
+        .bitwiseOR(_spread3_col(norm[2]))
+    )
+
+
 def curve_key_udf(columns: Sequence[str], bounds: dict, curve: str = "zorder"):
     """pandas UDF computing the 64-bit space-filling-curve key."""
     bits = curve_bits(len(columns))
@@ -146,7 +219,10 @@ def with_curve_key(
     curve: str = "zorder",
     out_col: str = "_zkey",
 ) -> DataFrame:
-    udf = curve_key_udf(columns, bounds, curve)
+    expr = curve_key_col(columns, bounds, curve)
+    if expr is not None:  # zorder: JVM codegen, no Python boundary
+        return df.withColumn(out_col, expr)
+    udf = curve_key_udf(columns, bounds, curve)  # hilbert / exotic bounds
     return df.withColumn(out_col, udf(*[F.col(c) for c in columns]))
 
 

@@ -106,10 +106,12 @@ def minhash_signature_expr(grams: Column, num_hashes: int, seed: int) -> Column:
     (guide §4.1: prefer built-ins), and lets the signature share one
     cached gram-set projection with the exact-Jaccard verifier."""
     a, b = _minhash_params(num_hashes, seed)
-    params = F.array(*[
-        F.struct(F.lit(_i64(x)).alias("a"), F.lit(_i64(y)).alias("b"))
-        for x, y in zip(a, b)
-    ])
+    # ONE parsed SQL literal instead of ~3·num_hashes py4j constructor
+    # round-trips — expression BUILD time is driver wall-clock the bench
+    # pays on every fresh plan (measured ~1s at num_hashes=96)
+    params = F.expr("array(" + ",".join(
+        f"named_struct('a',{_i64(x)}L,'b',{_i64(y)}L)" for x, y in zip(a, b)
+    ) + ")")
     return F.transform(
         params,
         lambda p: F.array_min(F.transform(grams, lambda g: g * p["a"] + p["b"])),
@@ -399,14 +401,19 @@ def embedding_near_dup_pairs(
     )
 
     base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
-    n = base.count()
-    if n <= brute_force_limit:
+    # ONE bounded job decides the path AND collects the brute-force
+    # corpus: limit(L+1).toPandas() returns at most L+1 rows — if it
+    # came back within the limit it IS the whole corpus (no separate
+    # count() pass), and at scale the decision costs a bounded collect
+    # instead of a full-corpus count (guide §1.2: fewer passes).
+    probe = base.limit(brute_force_limit + 1).toPandas()
+    if len(probe) <= brute_force_limit:
         # Exact all-pairs via Arrow: the (small) corpus matrix ships in the
         # UDF closure; each Arrow batch does a B×N matmul and emits only
         # over-threshold pairs. BLAS makes the O(n²·d) flops trivial at
         # this size; rows leaving Python = matches only. (The LSH branch
         # below is the 10^12-scale path — nothing is collected there.)
-        pdf = base.toPandas()
+        pdf = probe
         ids_all = pdf["id"].to_numpy()
         m_all = np.stack(pdf["v"].to_numpy()).astype(np.float64)
         m_all = m_all / (np.linalg.norm(m_all, axis=1, keepdims=True) + 1e-300)

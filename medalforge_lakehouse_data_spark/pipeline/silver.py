@@ -323,7 +323,14 @@ def run_pipeline_incremental(
                .select(*[F.col(f"d.{n}") for n in names]))
     n_inserts = inserts.count()
 
-    prefix = f"silver-inc-{src_meta.table_uuid}-{cursor}-{src_current}"
+    # Idempotency prefix keyed on the CURSOR only (not the window head):
+    # a run that dies after its quarantine/rejected appends and retries
+    # after bronze advanced gets the SAME prefix, so the overlapping
+    # sub-window's sink appends replay (skip) instead of re-appending
+    # duplicates under a fresh head-scoped key (ADVICE r5 #5). The merge
+    # itself is per-key idempotent either way; the retried (larger)
+    # window's inserts all flow through it.
+    prefix = f"silver-inc-{src_meta.table_uuid}-{cursor}"
     res = run_pipeline(
         spark, contract, catalog, source_df=inserts, run_logger=run_logger,
         allowed_custom_prefixes=allowed_custom_prefixes,

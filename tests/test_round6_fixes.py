@@ -105,3 +105,52 @@ def test_empty_target_insert_merge_fast_path(spark, tmp_path):
     again = merge_into(t, src, ["k"], spark, commit_key="first-merge")
     assert again.get("resumed") is True
     assert t.scan(spark).count() == 50
+
+
+def test_jvm_zorder_key_bit_identical_to_numpy(spark):
+    """curve_key_col (whole-stage-codegen Morton path) must produce the
+    EXACT key the numpy pandas-UDF kernel produces — layouts, recorded
+    boundaries and the driver-side span replicas all assume one keying."""
+    import math
+    import random
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+    from medalforge_lakehouse_data_spark.maintenance.clustering import (
+        curve_key_udf,
+        with_curve_key,
+    )
+
+    rng = random.Random(7)
+    rows = []
+    for _ in range(400):
+        def v():
+            r = rng.random()
+            if r < 0.05:
+                return None
+            if r < 0.08:
+                return float("nan")
+            if r < 0.10:
+                return float("inf") if r < 0.09 else float("-inf")
+            return rng.uniform(-1e9, 1e9)
+        rows.append((rng.randrange(-(2**62), 2**62), v(), float(rng.uniform(0, 255))))
+    schema = StructType([
+        StructField("a", LongType()),
+        StructField("b", DoubleType()),
+        StructField("c", DoubleType()),
+    ])
+    df = spark.createDataFrame(rows, schema)
+    for cols, bounds in [
+        (("a", "b", "c"), {"a": (-(2**62), 2**62), "b": (-1e9, 1e9), "c": (0.0, 255.0)}),
+        (("a", "b"), {"a": (-(2**62), 2**62), "b": (-1e9, 1e9)}),
+        (("c",), {"c": (0.0, 255.0)}),
+        (("a", "b"), {"a": (5, 5), "b": (-1e9, 1e9)}),  # degenerate bound
+    ]:
+        got = with_curve_key(df, cols, bounds, "zorder").select("_zkey")
+        udf = curve_key_udf(cols, bounds, "zorder")
+        want = df.withColumn("_zkey", udf(*[F.col(c) for c in cols])).select("_zkey")
+        g = [r[0] for r in got.collect()]
+        w = [r[0] for r in want.collect()]
+        assert g == w, f"key mismatch for {cols}"
+        assert all(x is not None and x >= 0 for x in g)
