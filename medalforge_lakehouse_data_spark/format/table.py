@@ -1464,16 +1464,63 @@ class Table:
             deletes = [d for d in self.delete_files() if (d.seq or 0) > min_seq]
         return self._read_aligned(spark, entries, meta.schema, meta, deletes=deletes)
 
+    # The driver-side delete-application split (below) unions one subplan
+    # per distinct applicable-delete subset; past this many distinct
+    # delete-file sequences it falls back to the per-row seq-rule join
+    # so the plan cannot grow unboundedly with delete-commit count.
+    DELETE_SPLIT_MAX_SEQS = 8
+
     def _read_aligned(self, spark, kept: list[DataFile], present: StructType,
                       meta: TableMetadata, deletes: list[DataFile] | None = None) -> DataFrame:
         """Read file groups written under older schema versions and align
         them to ``present`` by field id: renamed columns re-alias, widened
         columns cast up, added columns backfill NULL. Single-version
         tables take the direct-read fast path. Equality-delete files (if
-        any) are then anti-joined per their sequence rule."""
+        any) are then anti-joined per their sequence rule.
+
+        Delete application exploits that a file's sequence is CONSTANT
+        per file: the delete subset applying to a file ({d : d.seq >
+        e.seq}) is nested and monotone in e.seq, so the kept files are
+        segmented driver-side into at most |distinct delete seqs|+1
+        groups, each read plainly and anti-joined on the KEY columns
+        only. This removes the per-row _metadata.file_path projection,
+        the path→seq broadcast join, and the per-row seq comparison that
+        a row-level rule costs on every MoR-affected scan (guide §2.4);
+        with many distinct delete sequences it falls back to the per-row
+        rule so the plan stays bounded."""
+        deletes = list(deletes or [])
+        if deletes:
+            seqs = sorted({int(d.seq or 0) for d in deletes})
+            if len(seqs) <= self.DELETE_SPLIT_MAX_SEQS:
+                import bisect as _bisect
+
+                seg: dict[int, list[DataFile]] = {}
+                for e in kept:
+                    i = _bisect.bisect_right(seqs, int(e.seq or 0))
+                    seg.setdefault(i, []).append(e)
+                parts = []
+                for i, files in sorted(seg.items()):
+                    applicable = set(seqs[i:])
+                    df = self._read_groups(spark, files, present, meta,
+                                           with_path=False)
+                    if applicable:
+                        dls = [d for d in deletes
+                               if int(d.seq or 0) in applicable]
+                        df = self._anti_join_delete_keys(spark, df, dls)
+                    parts.append(df)
+                out = parts[0]
+                for p in parts[1:]:
+                    out = out.unionByName(p)
+                return out
+            out = self._read_groups(spark, kept, present, meta, with_path=True)
+            return self._apply_equality_deletes(spark, out, kept, deletes)
+        return self._read_groups(spark, kept, present, meta, with_path=False)
+
+    def _read_groups(self, spark, kept: list[DataFile], present: StructType,
+                     meta: TableMetadata, with_path: bool) -> DataFrame:
+        """Schema-version-grouped aligned read (no delete handling)."""
         from collections import defaultdict
 
-        deletes = deletes or []
         groups: dict[int | None, list[DataFile]] = defaultdict(list)
         for e in kept:
             groups[e.schema_version].append(e)
@@ -1482,7 +1529,7 @@ class Table:
             vschema = meta.schema_at(ver)
             paths = [os.path.join(self.root, e.path) for e in entries]
             df = spark.read.schema(vschema).parquet(*paths)
-            if deletes:
+            if with_path:
                 # per-row source file, for the seq-based delete rule
                 df = df.withColumn("__path", F.col("_metadata.file_path"))
             if vschema.jsonValue() != present.jsonValue():
@@ -1498,16 +1545,45 @@ class Table:
                         sel.append(F.lit(None).cast(tf.dataType).alias(tf.name))
                     else:
                         sel.append(F.col(sf.name).cast(tf.dataType).alias(tf.name))
-                if deletes:
+                if with_path:
                     sel.append(F.col("__path"))
                 df = df.select(*sel)
             parts.append(df)
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
-        if deletes:
-            out = self._apply_equality_deletes(spark, out, kept, deletes)
         return out
+
+    def _anti_join_delete_keys(self, spark, df: DataFrame,
+                               deletes: list[DataFile]) -> DataFrame:
+        """Anti-join delete-key files that are ALL known to apply to every
+        row of ``df`` (the caller proved seq applicability per file
+        group): plain key-equality anti-joins, no per-row seq test."""
+        from collections import defaultdict
+        from functools import reduce
+
+        by_keys: dict[tuple, list[DataFile]] = defaultdict(list)
+        for d in deletes:
+            by_keys[tuple(d.delete_keys or [])].append(d)
+        for keys, dels in by_keys.items():
+            if not keys:
+                continue
+            ddfs = [
+                spark.read.parquet(os.path.join(self.root, d.path))
+                .select(*[F.col(k).alias(f"__dk{i}") for i, k in enumerate(keys)])
+                for d in dels
+            ]
+            ddf = ddfs[0]
+            for x in ddfs[1:]:
+                ddf = ddf.unionByName(x)
+            cond = reduce(
+                lambda a, b: a & b,
+                [df[k] == ddf[f"__dk{i}"] for i, k in enumerate(keys)],
+            )
+            if sum(d.rows for d in dels) <= 2_000_000:
+                ddf = F.broadcast(ddf)
+            df = df.join(ddf, on=cond, how="left_anti")
+        return df
 
     def _apply_equality_deletes(self, spark, df: DataFrame, kept: list[DataFile],
                                 deletes: list[DataFile]) -> DataFrame:

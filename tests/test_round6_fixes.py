@@ -154,3 +154,38 @@ def test_jvm_zorder_key_bit_identical_to_numpy(spark):
         w = [r[0] for r in want.collect()]
         assert g == w, f"key mismatch for {cols}"
         assert all(x is not None and x >= 0 for x in g)
+
+
+def test_delete_split_read_matches_per_row_rule(spark, tmp_path):
+    """The driver-side delete-application split (segment files by
+    applicable-delete subset, key-only anti-joins) must produce exactly
+    the rows the per-row seq-rule join produces, across interleaved
+    appends and MoR deletes — including re-inserted keys that a
+    seq-blind anti-join would wrongly remove."""
+    t = Table.create(str(tmp_path / "t"), SIMPLE)
+    t.append(spark, spark.createDataFrame(
+        [(i, f"v{i}") for i in range(20)], SIMPLE), target_file_count=2)  # seq 1
+    merge_into(t, spark.createDataFrame([(3, "x"), (7, "x")], SIMPLE),
+               ["k"], spark, when_matched="delete", when_not_matched=None,
+               strategy="merge-on-read")                                  # seq 2
+    t.append(spark, spark.createDataFrame([(3, "re3")], SIMPLE),
+             target_file_count=1)                                         # seq 3
+    merge_into(t, spark.createDataFrame([(10, "x")], SIMPLE),
+               ["k"], spark, when_matched="delete", when_not_matched=None,
+               strategy="merge-on-read")                                  # seq 4
+    t.append(spark, spark.createDataFrame([(10, "re10")], SIMPLE),
+             target_file_count=1)                                         # seq 5
+
+    want = {(i, f"v{i}") for i in range(20) if i not in (3, 7, 10)}
+    want |= {(3, "re3"), (10, "re10")}
+
+    got_split = {(r.k, r.val) for r in t.scan(spark).collect()}
+    assert got_split == want
+    # force the per-row fallback and compare
+    old = Table.DELETE_SPLIT_MAX_SEQS
+    try:
+        Table.DELETE_SPLIT_MAX_SEQS = 0
+        got_row = {(r.k, r.val) for r in t.scan(spark).collect()}
+    finally:
+        Table.DELETE_SPLIT_MAX_SEQS = old
+    assert got_row == want
