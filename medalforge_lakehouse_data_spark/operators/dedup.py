@@ -163,7 +163,7 @@ def minhash_near_dup_pairs(
     with_sig = grams_df.select(
         "id",
         minhash_signature_expr(F.col("grams"), num_hashes, seed).alias("sig"),
-    )
+    ).cache()
 
     band_cols = F.explode(
         F.transform(
