@@ -166,3 +166,18 @@ def apply_checks_and_split(df: DataFrame, checks: list[dict]) -> tuple[DataFrame
     valid = checked.filter(F.size(F.col(_ERR)) == 0).drop(_ERR, _WARN)
     quarantine = checked.filter(F.size(F.col(_ERR)) > 0)
     return valid, quarantine
+
+
+def apply_checks_and_split_cached(
+    df: DataFrame, checks: list[dict]
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Split over ONE cached checked plan: both branches are filters of
+    the same InMemoryRelation, so the source is scanned and the checks
+    evaluated once — not once per branch cache (caching each branch
+    separately, as the silver pipeline used to, materializes the source
+    scan twice). Returns (valid, quarantine, checked); the caller owns
+    unpersisting ``checked``."""
+    checked = apply_checks(df, checks).cache()
+    valid = checked.filter(F.size(F.col(_ERR)) == 0).drop(_ERR, _WARN)
+    quarantine = checked.filter(F.size(F.col(_ERR)) > 0)
+    return valid, quarantine, checked

@@ -18,8 +18,9 @@ silver/application/pipeline.py:12-107):
  11. run metrics
 
 Perf deltas vs the reference (which recomputed both branches at every
-action, noted in SURVEY.md §3.2): the checked DataFrame and both
-branches are cached before multi-action fan-out."""
+action, noted in SURVEY.md §3.2): each checks pass caches ONE checked
+plan and derives both branches as filters over it, so the source is
+scanned once per pass regardless of how many actions fan out."""
 
 from __future__ import annotations
 
@@ -30,7 +31,9 @@ from pyspark.sql import DataFrame, SparkSession
 from medalforge_lakehouse_data_spark.customs.runner import CustomsRunner
 from medalforge_lakehouse_data_spark.maintenance.clustering import cluster_rewrite
 from medalforge_lakehouse_data_spark.operators import etl_core
-from medalforge_lakehouse_data_spark.operators.checks import apply_checks_and_split
+from medalforge_lakehouse_data_spark.operators.checks import (
+    apply_checks_and_split_cached,
+)
 from medalforge_lakehouse_data_spark.operators.merge import merge_into
 from medalforge_lakehouse_data_spark.plans.catalog import Catalog
 from medalforge_lakehouse_data_spark.plans.silver_contract import SilverContract
@@ -75,10 +78,12 @@ def run_pipeline(
         if source_df is None:
             source_df = catalog.load(contract.source_table).scan(spark)
 
-        # 2. split
-        valid_df, quarantine_df = apply_checks_and_split(source_df, contract.checks)
-        valid_df = valid_df.cache()
-        quarantine_df = quarantine_df.cache()
+        # 2. split — both branches filter ONE cached checked plan, so the
+        # source is scanned and the checks evaluated once (caching each
+        # branch separately materialized the source scan twice; at scale
+        # that doubles the silver source I/O — guide §5)
+        valid_df, quarantine_df, checked = apply_checks_and_split_cached(
+            source_df, contract.checks)
         n_quarantine = quarantine_df.count()
 
         # 3. raw quarantine sink (with technical columns, as the reference
@@ -94,9 +99,9 @@ def run_pipeline(
         fixed = etl_core.strip_technical_columns(quarantine_df)
         fixed = etl_core.run_steps(fixed, contract.remediate)
 
-        # 5. re-check
-        fixed_valid, still_bad = apply_checks_and_split(fixed, contract.checks)
-        fixed_valid = fixed_valid.cache()
+        # 5. re-check (same shared-cache shape)
+        fixed_valid, still_bad, rechecked = apply_checks_and_split_cached(
+            fixed, contract.checks)
         n_remediated = fixed_valid.count()
 
         # 6. standard steps on both branches (declared order = execution order)
@@ -176,9 +181,8 @@ def run_pipeline(
             remediated=n_remediated,
             rejected=n_rejected,
         )
-        valid_df.unpersist()
-        quarantine_df.unpersist()
-        fixed_valid.unpersist()
+        checked.unpersist()
+        rechecked.unpersist()
         return PipelineResult(
             merged_rows=merged_rows,
             quarantined_rows=n_quarantine,
